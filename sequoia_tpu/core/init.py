@@ -1,0 +1,97 @@
+"""Parameter initialization and (optional) HuggingFace weight import.
+
+The environment may have no network and no weight cache; random init with the
+real model *shapes* is sufficient for latency benchmarking (latency is
+weight-value independent) and for all correctness tests (greedy speculative
+decoding must exactly reproduce greedy target decoding for *any* weights).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import LlamaConfig
+from .model import LayerParams, LlamaParams
+
+
+def random_params(
+    cfg: LlamaConfig, key: jax.Array, dtype=jnp.bfloat16, scale: float = 0.02
+) -> LlamaParams:
+    E, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    L, H, Hkv, D = cfg.num_layers, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    keys = jax.random.split(key, 10)
+
+    def init(k, shape, fan_in):
+        # Truncated-normal-ish scaling keeps logits in a sane range for tests.
+        return (jax.random.normal(k, shape, jnp.float32) * min(scale, 1.0 / math.sqrt(fan_in))).astype(dtype)
+
+    layers = LayerParams(
+        attn_norm=jnp.ones((L, E), dtype),
+        wq=init(keys[0], (L, E, H * D), E),
+        wk=init(keys[1], (L, E, Hkv * D), E),
+        wv=init(keys[2], (L, E, Hkv * D), E),
+        wo=init(keys[3], (L, H * D, E), H * D),
+        mlp_norm=jnp.ones((L, E), dtype),
+        w_gate=init(keys[4], (L, E, F), E),
+        w_up=init(keys[5], (L, E, F), E),
+        w_down=init(keys[6], (L, F, E), F),
+    )
+    embed = init(keys[7], (V, E), E)
+    lm_head = embed.T if cfg.tie_word_embeddings else init(keys[8], (E, V), E)
+    return LlamaParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.ones((E,), dtype),
+        lm_head=lm_head,
+    )
+
+
+def params_from_hf_state_dict(cfg: LlamaConfig, state_dict, dtype=jnp.bfloat16) -> LlamaParams:
+    """Convert a HuggingFace Llama `state_dict` (torch CPU tensors or numpy
+    arrays) into the stacked-layer layout.
+
+    Note: HF stores projections as `nn.Linear` weights `[out, in]`; we store
+    right-multiplied matrices `[in, out]`, hence the transposes.
+    """
+
+    def a(t):
+        if hasattr(t, "detach"):
+            t = t.detach().to("cpu").float().numpy()
+        return np.asarray(t)
+
+    def stack(fmt: str, transpose: bool):
+        mats = [a(state_dict[fmt.format(i=i)]) for i in range(cfg.num_layers)]
+        if transpose:
+            mats = [m.T for m in mats]
+        return jnp.asarray(np.stack(mats), dtype)
+
+    layers = LayerParams(
+        attn_norm=stack("model.layers.{i}.input_layernorm.weight", False),
+        wq=stack("model.layers.{i}.self_attn.q_proj.weight", True),
+        wk=stack("model.layers.{i}.self_attn.k_proj.weight", True),
+        wv=stack("model.layers.{i}.self_attn.v_proj.weight", True),
+        wo=stack("model.layers.{i}.self_attn.o_proj.weight", True),
+        mlp_norm=stack("model.layers.{i}.post_attention_layernorm.weight", False),
+        w_gate=stack("model.layers.{i}.mlp.gate_proj.weight", True),
+        w_up=stack("model.layers.{i}.mlp.up_proj.weight", True),
+        w_down=stack("model.layers.{i}.mlp.down_proj.weight", True),
+    )
+    embed = jnp.asarray(a(state_dict["model.embed_tokens.weight"]), dtype)
+    if cfg.tie_word_embeddings or "lm_head.weight" not in state_dict:
+        lm_head = embed.T
+    else:
+        lm_head = jnp.asarray(a(state_dict["lm_head.weight"]).T, dtype)
+    return LlamaParams(
+        embed=embed,
+        layers=layers,
+        final_norm=jnp.asarray(a(state_dict["model.norm.weight"]), dtype),
+        lm_head=lm_head,
+    )
+
+
+def param_count(params: LlamaParams) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

@@ -1,0 +1,142 @@
+"""Pure-functional Llama forward pass for speculative decoding.
+
+Single implementation for draft and target models. The reference forks its
+module stack into `_FI` (CUDA-graph capturable, fused SDPA over the full
+static cache — `Engine/Llama_modules.py:47-140`) and `_TG` (eager, trimmed
+manual attention — `:142-257`) purely for CUDA-graph reasons; under `jax.jit`
+with static shapes one implementation covers both roles.
+
+Design points:
+- Layers are *stacked*: every per-layer weight carries a leading `[L]` axis
+  and the decode loop is one `lax.scan` — compile time stays flat in depth.
+- Queries for one forward always occupy a contiguous KV slot window
+  `[cache_offset, cache_offset + Q)` (the reference's `storage_ids` are
+  contiguous ranges at every call site, e.g. `Tree/SpecTree.py:119-125`).
+- Attention runs over the full static-`max_length` cache with an additive
+  mask computed from the (prefix length, tree topology) state — same trick
+  that made the reference's draft path CUDA-graph capturable
+  (`Engine/Llama_modules.py:127-134`), and what keeps jit signatures static.
+- RoPE is applied by *logical* position while rows are stored by *physical*
+  slot (`Engine/Llama_modules.py:117-121` semantics); cos/sin come straight
+  from `position_ids` (no table).
+- Norms, attention softmax, and final logits are computed in f32; matmuls in
+  the params dtype (bf16 on TPU) with `preferred_element_type=f32` where the
+  result feeds f32 math.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import LlamaConfig
+from ..kvcache.cache import KVCache
+
+NEG_INF = float("-inf")
+
+
+class LayerParams(NamedTuple):
+    """Per-layer weights, each with a leading `[num_layers]` axis."""
+
+    attn_norm: jax.Array  # [L, E]
+    wq: jax.Array         # [L, E, H*D]
+    wk: jax.Array         # [L, E, Hkv*D]
+    wv: jax.Array         # [L, E, Hkv*D]
+    wo: jax.Array         # [L, H*D, E]
+    mlp_norm: jax.Array   # [L, E]
+    w_gate: jax.Array     # [L, E, F]
+    w_up: jax.Array       # [L, E, F]
+    w_down: jax.Array     # [L, F, E]
+
+
+class LlamaParams(NamedTuple):
+    embed: jax.Array       # [V, E]
+    layers: LayerParams
+    final_norm: jax.Array  # [E]
+    lm_head: jax.Array     # [E, V]
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    normed = xf * jax.lax.rsqrt(var + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_cos_sin(position_ids: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin `[Q, D]` (half-duplicated, llama rotate-half convention)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    freqs = position_ids.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [Q, D/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [Q, H, D]; cos/sin: [Q, D]."""
+    cos = cos[:, None, :].astype(x.dtype)
+    sin = sin[:, None, :].astype(x.dtype)
+    return x * cos + _rotate_half(x) * sin
+
+
+def forward(
+    params: LlamaParams,
+    cfg: LlamaConfig,
+    tokens: jax.Array,        # i32 [Q]
+    position_ids: jax.Array,  # i32 [Q]
+    kv: KVCache,
+    cache_offset,             # i32 scalar: queries occupy slots [offset, offset+Q)
+    attn_mask: jax.Array,     # bool [Q, max_length]; True = attend
+) -> Tuple[jax.Array, KVCache]:
+    """Returns (`logits` f32 `[Q, vocab]`, updated cache)."""
+    Q = tokens.shape[0]
+    H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
+    G = cfg.q_per_kv
+    scale = D ** -0.5
+
+    hidden = params.embed[tokens]  # [Q, E]
+    cos, sin = rope_cos_sin(position_ids, D, cfg.rope_theta)
+    # Additive f32 mask, broadcast over heads.
+    bias = jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32)  # [Q, M]
+
+    def layer_step(hidden, xs):
+        lp, k_cache, v_cache = xs  # k/v_cache: [M, Hkv, D]
+
+        x = rms_norm(hidden, lp.attn_norm, cfg.rms_norm_eps)
+        q = (x @ lp.wq).reshape(Q, H, D)
+        k = (x @ lp.wk).reshape(Q, Hkv, D)
+        v = (x @ lp.wv).reshape(Q, Hkv, D)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (cache_offset, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (cache_offset, 0, 0))
+
+        # GQA without materializing repeated KV heads.
+        qg = q.reshape(Q, Hkv, G, D)
+        scores = jnp.einsum(
+            "qhgd,mhd->hgqm", qg, k_cache, preferred_element_type=jnp.float32
+        ) * scale                                  # [Hkv, G, Q, M] f32
+        scores = scores + bias[None, None, :, :]
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+        attn = jnp.einsum("hgqm,mhd->qhgd", probs, v_cache)
+        attn = attn.reshape(Q, H * D)
+        hidden = hidden + attn @ lp.wo
+
+        y = rms_norm(hidden, lp.mlp_norm, cfg.rms_norm_eps)
+        mlp = (jax.nn.silu(y @ lp.w_gate) * (y @ lp.w_up)) @ lp.w_down
+        hidden = hidden + mlp
+        return hidden, (k_cache, v_cache)
+
+    hidden, (new_k, new_v) = jax.lax.scan(
+        layer_step, hidden, (params.layers, kv.k, kv.v)
+    )
+    hidden = rms_norm(hidden, params.final_norm, cfg.rms_norm_eps)
+    logits = jnp.dot(hidden, params.lm_head, preferred_element_type=jnp.float32)
+    return logits, KVCache(k=new_k, v=new_v)

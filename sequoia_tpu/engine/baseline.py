@@ -1,0 +1,124 @@
+"""Autoregressive baseline decoder (the reference `--Mode baseline`,
+`tests/testbed.py:99-143`): one target forward per token. Used for speedup
+measurement and for the greedy token-exact parity check (greedy speculative
+decoding must equal pure greedy decoding)."""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LlamaConfig
+from ..core.model import LlamaParams, forward
+from ..kvcache.cache import KVCache
+from ..ops import masks
+from ..ops.sampling import sample_categorical_probs, target_probs
+
+
+class ARState(NamedTuple):
+    tokens: jax.Array   # i32 [max_length]
+    n: jax.Array        # i32 committed length
+    kv: KVCache
+    last_logits: jax.Array  # f32 [vocab] logits at the last committed token
+    key: jax.Array
+    terminal: jax.Array
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class ARBaseline:
+    def __init__(
+        self,
+        params: LlamaParams,
+        cfg: LlamaConfig,
+        *,
+        max_length: int = 256,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        greedy: bool = False,
+        prefill_chunk: int = 128,
+    ) -> None:
+        self.params = params
+        self.cfg = cfg
+        self.max_length = max_length
+        self.temperature = temperature
+        self.top_p = top_p
+        self.greedy = greedy
+        self.prefill_chunk = min(prefill_chunk, max_length)
+        self._step = jax.jit(self._step_impl, donate_argnums=(1,))
+        self._prefill_chunk_fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
+
+    def _prefill_impl(self, params, state: ARState, chunk, offset, prompt_len):
+        C = chunk.shape[0]
+        positions = offset + jnp.arange(C, dtype=jnp.int32)
+        mask = masks.causal_mask(C, self.max_length, offset)
+        logits, kv = forward(params, self.cfg, chunk, positions, state.kv, offset, mask)
+        last = prompt_len - 1 - offset
+        in_chunk = (last >= 0) & (last < C)
+        idx = jnp.clip(last, 0, C - 1)
+        last_logits = jnp.where(
+            in_chunk, jax.lax.dynamic_index_in_dim(logits, idx, keepdims=False),
+            state.last_logits,
+        )
+        tokens = jax.lax.dynamic_update_slice(state.tokens, chunk, (offset,))
+        return state._replace(tokens=tokens, kv=kv, last_logits=last_logits)
+
+    def _sample(self, key, logits):
+        if self.greedy:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        p = target_probs(logits, self.top_p, self.temperature)
+        return sample_categorical_probs(key, p).astype(jnp.int32)
+
+    def _step_impl(self, params, state: ARState):
+        key, k_s = jax.random.split(state.key)
+        token = self._sample(k_s, state.last_logits)
+        tokens = state.tokens.at[state.n].set(token)
+        pos = state.n[None].astype(jnp.int32)
+        k_idx = jnp.arange(self.max_length, dtype=jnp.int32)[None, :]
+        mask = k_idx <= state.n
+        logits, kv = forward(
+            params, self.cfg, token[None], pos, state.kv, state.n, mask
+        )
+        stop = jnp.isin(token, jnp.asarray(list(self.cfg.stop_tokens), jnp.int32))
+        return ARState(
+            tokens=tokens,
+            n=state.n + 1,
+            kv=kv,
+            last_logits=logits[0],
+            key=key,
+            terminal=state.terminal | stop,
+        ), token
+
+    def generate(self, prompt: np.ndarray, max_new_tokens: int = 128, seed: int = 0) -> np.ndarray:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        plen = len(prompt)
+        assert plen + max_new_tokens <= self.max_length
+        state = ARState(
+            tokens=jnp.zeros((self.max_length,), jnp.int32),
+            n=jnp.asarray(plen, jnp.int32),
+            kv=KVCache.init(self.cfg, self.max_length, self.params.embed.dtype),
+            last_logits=jnp.zeros((self.cfg.vocab_size,), jnp.float32),
+            key=jax.random.PRNGKey(seed),
+            terminal=jnp.asarray(False),
+        )
+        C = self.prefill_chunk
+        padded_len = _round_up(plen, C)
+        padded = np.zeros(padded_len, np.int32)
+        padded[:plen] = prompt
+        for off in range(0, padded_len, C):
+            state = self._prefill_chunk_fn(
+                self.params, state, jnp.asarray(padded[off : off + C]),
+                jnp.asarray(off, jnp.int32), jnp.asarray(plen, jnp.int32),
+            )
+        n = plen
+        for _ in range(max_new_tokens):
+            state, _tok = self._step(self.params, state)
+            n += 1
+            if bool(state.terminal):
+                break
+        return np.asarray(jax.device_get(state.tokens))[:n]

@@ -1,0 +1,381 @@
+"""Speculative-decoding engine: growmap-driven tree growth + one-pass tree
+verification + device-side accept walk, as a single jitted iteration.
+
+Control flow mirrors the reference outer loop (`tests/testbed.py`
+`simulation_fast` -> `construct_grow_map()` / `verify()`,
+`Tree/SpecTree.py:88-281`), but the per-iteration work — every draft growth
+level, the target verify forward, the accept walk, KV compaction, committed-
+token writes, and the bonus re-draft — is ONE `jax.jit` call. The host syncs
+on two scalars per iteration (emitted count, terminal flag); the reference
+syncs once per tree edge plus once per CUDA-graph replay.
+
+Slot/step invariants (steady state, identical to the reference):
+- committed tokens occupy slots `[0, gtl)`; tree node i sits at slot
+  `ts + i`, `ts = gtl - 1` (root = last committed token);
+- the target verify forward always has width `tree_size`, covering slots
+  `[ts, ts + size)` (the reference reaches the same width via
+  `target_kv_len = len(accept_list)`, `Tree/SpecTree.py:179-192`);
+- after acceptance, accepted rows are compacted down in both KV caches
+  (`gather_kv_incremental` semantics) and a width-1 draft forward on the
+  bonus token re-seeds the next root's draft logits
+  (`prepare_for_next_iter`, `Tree/SpecTree.py:261-281`).
+
+Static shapes throughout: one compile per (growmap, prompt-bucket).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LlamaConfig
+from ..core.model import LlamaParams, forward
+from ..kvcache.cache import KVCache
+from ..ops import masks
+from ..ops.sampling import (
+    sample_argmax,
+    sample_categorical_probs,
+    sample_with_replacement,
+    sample_without_replacement,
+    target_probs,
+)
+from ..trees.accept import (
+    AcceptResult,
+    resolve_path,
+    stochastic_accept,
+    token_match_accept,
+)
+from ..trees.growmap import GrowMap
+
+ALGORITHMS = ("sequoia", "specinfer", "greedy", "greedys")
+
+
+class DecodeState(NamedTuple):
+    tokens: jax.Array             # i32 [max_length] committed + live tree slots
+    gtl: jax.Array                # i32 committed length (root = slot gtl-1)
+    draft_kv: KVCache
+    target_kv: KVCache
+    root_draft_logits: jax.Array  # f32 [vocab] draft dist at the root
+    key: jax.Array                # PRNG key
+    terminal: jax.Array           # bool
+
+
+class StepStats(NamedTuple):
+    emitted: jax.Array   # i32 tokens committed this iteration (accepted + bonus)
+    terminal: jax.Array  # bool
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+class SpecEngine:
+    """Single-request speculative decoding over a static growmap."""
+
+    def __init__(
+        self,
+        draft_params: LlamaParams,
+        draft_cfg: LlamaConfig,
+        target_params: LlamaParams,
+        target_cfg: LlamaConfig,
+        growmap: GrowMap,
+        *,
+        algorithm: str = "sequoia",
+        max_length: int = 256,
+        temperature: float = 0.6,
+        top_p: float = 0.9,
+        prefill_chunk: int = 128,
+    ) -> None:
+        assert algorithm in ALGORITHMS, algorithm
+        assert draft_cfg.vocab_size == target_cfg.vocab_size
+        if algorithm in ("sequoia", "specinfer", "greedys"):
+            assert temperature > 0.0, "stochastic algorithms need T > 0"
+        self.draft_params = draft_params
+        self.target_params = target_params
+        self.draft_cfg = draft_cfg
+        self.target_cfg = target_cfg
+        self.growmap = growmap
+        self.algorithm = algorithm
+        self.max_length = max_length
+        self.temperature = temperature
+        self.top_p = top_p
+        self.prefill_chunk = min(prefill_chunk, max_length)
+        self.vocab = target_cfg.vocab_size
+        self.stop_tokens = tuple(target_cfg.stop_tokens)
+
+        gm = growmap
+        self.tree_size = gm.size
+        self.max_depth = int(gm.depth.max()) if gm.size > 1 else 0
+        # Static device constants for the jitted iteration.
+        self._anc = jnp.asarray(gm.ancestors)
+        self._succ = jnp.asarray(gm.successors_padded())
+        self._depth = jnp.asarray(gm.depth, jnp.int32)
+        self._level_roots = [jnp.asarray(r, jnp.int32) for r in gm.roots]
+        self._level_gather = [jnp.asarray(gm.sample_gather_index(i)) for i in range(gm.num_grow_steps)]
+        self._level_widths = gm.level_widths
+        self._level_starts = gm.level_starts
+        self._level_max_k = [max(b) for b in gm.branches]
+
+        self._iterate = jax.jit(self._iterate_impl, donate_argnums=(2,))
+        self._prefill_chunk_fn = jax.jit(self._prefill_chunk_impl, donate_argnums=(2,))
+        # Counters (reference metric: tests/testbed.py:94).
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+
+    # ------------------------------------------------------------------
+    # Prefill
+    # ------------------------------------------------------------------
+
+    def _fresh_state(self, key: jax.Array, kv_dtype) -> DecodeState:
+        return DecodeState(
+            tokens=jnp.zeros((self.max_length,), jnp.int32),
+            gtl=jnp.asarray(0, jnp.int32),
+            draft_kv=KVCache.init(self.draft_cfg, self.max_length, kv_dtype),
+            target_kv=KVCache.init(self.target_cfg, self.max_length, kv_dtype),
+            root_draft_logits=jnp.zeros((self.vocab,), jnp.float32),
+            key=key,
+            terminal=jnp.asarray(False),
+        )
+
+    def _prefill_chunk_impl(
+        self,
+        draft_params: LlamaParams,
+        target_params: LlamaParams,
+        state: DecodeState,
+        chunk_tokens: jax.Array,  # i32 [C]
+        offset,                   # i32 scalar
+        prompt_len,               # i32 scalar
+    ) -> DecodeState:
+        C = chunk_tokens.shape[0]
+        positions = offset + jnp.arange(C, dtype=jnp.int32)
+        mask = masks.causal_mask(C, self.max_length, offset)
+        d_logits, draft_kv = forward(
+            draft_params, self.draft_cfg, chunk_tokens, positions,
+            state.draft_kv, offset, mask,
+        )
+        _, target_kv = forward(
+            target_params, self.target_cfg, chunk_tokens, positions,
+            state.target_kv, offset, mask,
+        )
+        # Track the draft logits at the prompt's last token (the root).
+        last_in_chunk = prompt_len - 1 - offset
+        in_chunk = (last_in_chunk >= 0) & (last_in_chunk < C)
+        idx = jnp.clip(last_in_chunk, 0, C - 1)
+        root_logits = jnp.where(
+            in_chunk, jax.lax.dynamic_index_in_dim(d_logits, idx, keepdims=False),
+            state.root_draft_logits,
+        )
+        tokens = jax.lax.dynamic_update_slice(state.tokens, chunk_tokens, (offset,))
+        return state._replace(
+            tokens=tokens,
+            draft_kv=draft_kv,
+            target_kv=target_kv,
+            root_draft_logits=root_logits,
+            gtl=jnp.minimum(offset + C, prompt_len),
+        )
+
+    def prefill(self, prompt: np.ndarray, seed: int = 0) -> DecodeState:
+        prompt = np.asarray(prompt, np.int32).reshape(-1)
+        plen = len(prompt)
+        assert 1 <= plen
+        assert plen + self.tree_size <= self.max_length, "prompt too long for max_length"
+        key = jax.random.PRNGKey(seed)
+        state = self._fresh_state(key, self.target_params.embed.dtype)
+        C = self.prefill_chunk
+        padded_len = _round_up(plen, C)
+        padded = np.zeros(padded_len, np.int32)
+        padded[:plen] = prompt
+        plen_dev = jnp.asarray(plen, jnp.int32)
+        for off in range(0, padded_len, C):
+            state = self._prefill_chunk_fn(
+                self.draft_params, self.target_params, state,
+                jnp.asarray(padded[off : off + C]), jnp.asarray(off, jnp.int32),
+                plen_dev,
+            )
+        return state._replace(gtl=plen_dev)
+
+    # ------------------------------------------------------------------
+    # One speculative iteration (grow + verify + accept + compact + re-draft)
+    # ------------------------------------------------------------------
+
+    def _draft_grow_sample(self, key, level, logits_roots):
+        """Sample children for one growth level. Returns flat new tokens
+        `[level_width]` in node order (`collective_grow_static` sampling,
+        `Tree/SpecTree.py:103-104`)."""
+        max_k = self._level_max_k[level]
+        if self.algorithm == "sequoia":
+            samples = sample_without_replacement(key, logits_roots, self.temperature, max_k)
+        elif self.algorithm == "specinfer":
+            samples = sample_with_replacement(key, logits_roots, self.temperature, max_k)
+        else:  # greedy growth by top-k logits (testbed_greedy / greedyS)
+            samples = sample_argmax(logits_roots, max_k)
+        return samples.reshape(-1)[self._level_gather[level]].astype(jnp.int32)
+
+    def _iterate_impl(
+        self,
+        draft_params: LlamaParams,
+        target_params: LlamaParams,
+        state: DecodeState,
+    ) -> Tuple[DecodeState, StepStats]:
+        gm_size = self.tree_size
+        gtl = state.gtl
+        ts = gtl - 1  # slot of tree node 0
+        key = state.key
+        M = self.max_length
+
+        # --- Draft tree growth, level by level (static unroll) ----------
+        draft_logits = jnp.zeros((gm_size, self.vocab), jnp.float32)
+        draft_logits = draft_logits.at[0].set(state.root_draft_logits)
+        tokens_tree = jnp.zeros((gm_size,), jnp.int32)
+        tokens_tree = tokens_tree.at[0].set(
+            jax.lax.dynamic_index_in_dim(state.tokens, ts, keepdims=False)
+        )
+        tokens_buf = state.tokens
+        draft_kv = state.draft_kv
+
+        for lvl in range(self.growmap.num_grow_steps):
+            w = self._level_widths[lvl]
+            start = self._level_starts[lvl]
+            key, sub = jax.random.split(key)
+            new_tokens = self._draft_grow_sample(
+                sub, lvl, draft_logits[self._level_roots[lvl]]
+            )
+            tokens_tree = jax.lax.dynamic_update_slice(tokens_tree, new_tokens, (start,))
+            tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, new_tokens, (ts + start,))
+            positions = ts + self._depth[start : start + w]
+            mask = masks.tree_mask_rows(self._anc[start : start + w], ts, M)
+            lvl_logits, draft_kv = forward(
+                draft_params, self.draft_cfg, new_tokens, positions,
+                draft_kv, ts + start, mask,
+            )
+            draft_logits = jax.lax.dynamic_update_slice(
+                draft_logits, lvl_logits.astype(jnp.float32), (start, 0)
+            )
+
+        # --- Target verify forward over the whole tree ------------------
+        positions = ts + self._depth
+        mask = masks.tree_mask_rows(self._anc, ts, M)
+        target_logits, target_kv = forward(
+            target_params, self.target_cfg, tokens_tree, positions,
+            state.target_kv, ts, mask,
+        )
+
+        # --- Accept walk (device-side) ----------------------------------
+        key, k_r, k_bonus, k_tok = jax.random.split(key, 4)
+        if self.algorithm in ("sequoia", "specinfer"):
+            p = target_probs(target_logits, self.top_p, self.temperature)
+            r = jax.random.uniform(k_r, (gm_size,), jnp.float32)
+            acc: AcceptResult = stochastic_accept(
+                p, draft_logits, tokens_tree, r, self._succ,
+                self.temperature,
+                strict=(self.algorithm == "sequoia"),
+                mask_rejected_draft=(self.algorithm == "sequoia"),
+            )
+        elif self.algorithm == "greedy":
+            acc = token_match_accept(
+                jnp.argmax(target_logits, axis=-1).astype(jnp.int32),
+                tokens_tree, self._succ,
+            )
+        else:  # greedys
+            p = target_probs(target_logits, self.top_p, self.temperature)
+            sampled = sample_categorical_probs(k_tok, p).astype(jnp.int32)
+            acc = token_match_accept(sampled, tokens_tree, self._succ)
+
+        path = resolve_path(
+            acc.accepted_child, tokens_tree, self.stop_tokens, max(self.max_depth, 1)
+        )
+
+        # --- Bonus token -------------------------------------------------
+        if self.algorithm in ("sequoia", "specinfer"):
+            res = acc.p_final[path.final_node]
+            nan_residual = jnp.isnan(res).any()
+            bonus = sample_categorical_probs(k_bonus, res).astype(jnp.int32)
+            terminal = path.terminal | (~path.terminal & nan_residual)
+            has_bonus = ~terminal
+        else:
+            bonus = acc.target_token[path.final_node]
+            terminal = path.terminal
+            has_bonus = ~terminal
+        # Emitting a stop token as bonus also terminates (the reference only
+        # notices once the token is *accepted* in a later tree; stopping now
+        # is strictly better behavior and emits the same committed sequence).
+        bonus_is_stop = jnp.isin(bonus, jnp.asarray(list(self.stop_tokens), jnp.int32))
+        emitted = path.accept_count + has_bonus.astype(jnp.int32)
+        terminal = terminal | (has_bonus & bonus_is_stop)
+
+        # --- Commit accepted tokens + bonus ------------------------------
+        md = max(self.max_depth, 1)
+        path_c = jnp.where(path.path >= 0, path.path, 0)
+        path_tokens = tokens_tree[path_c]
+        block = jnp.where(jnp.arange(md) < path.accept_count, path_tokens, 0)
+        block = jnp.concatenate([block, jnp.zeros((1,), jnp.int32)])
+        block = block.at[path.accept_count].set(jnp.where(has_bonus, bonus, block[path.accept_count]))
+        tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, block, (gtl,))
+
+        # --- KV compaction (both caches) ---------------------------------
+        slots = ts + path_c  # padded rows duplicate the root row; they are
+        # re-written before ever becoming visible (see kvcache/cache.py).
+        draft_kv = draft_kv.compact(slots, gtl)
+        target_kv = target_kv.compact(slots, gtl)
+
+        new_gtl = gtl + emitted
+        new_ts = new_gtl - 1
+
+        # --- Width-1 draft forward on the new root (bonus) ---------------
+        root_token = jax.lax.dynamic_index_in_dim(tokens_buf, new_ts, keepdims=False)
+        root_pos = new_ts[None].astype(jnp.int32)
+        k_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+        root_mask = k_idx <= new_ts
+        root_logits, draft_kv = forward(
+            draft_params, self.draft_cfg, root_token[None], root_pos,
+            draft_kv, new_ts, root_mask,
+        )
+
+        new_state = DecodeState(
+            tokens=tokens_buf,
+            gtl=new_gtl,
+            draft_kv=draft_kv,
+            target_kv=target_kv,
+            root_draft_logits=root_logits[0],
+            key=key,
+            terminal=state.terminal | terminal,
+        )
+        return new_state, StepStats(emitted=emitted, terminal=new_state.terminal)
+
+    # ------------------------------------------------------------------
+    # Generation loop
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt: np.ndarray,
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Generate until EOS / token budget / buffer exhaustion. Returns the
+        full committed sequence (prompt + generated)."""
+        state = self.prefill(prompt, seed=seed)
+        plen = int(len(np.asarray(prompt).reshape(-1)))
+        gtl = plen
+        produced = 0
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+        while (
+            produced < max_new_tokens
+            and gtl - 1 + self.tree_size <= self.max_length
+            and gtl + self.max_depth + 1 <= self.max_length
+        ):
+            state, stats = self._iterate(self.draft_params, self.target_params, state)
+            emitted = int(stats.emitted)  # host sync point (scalars only)
+            produced += emitted
+            gtl += emitted
+            self.num_decoding_steps += emitted
+            self.num_large_model_steps += 1
+            if bool(stats.terminal):
+                break
+        tokens = np.asarray(jax.device_get(state.tokens))
+        return tokens[:gtl]

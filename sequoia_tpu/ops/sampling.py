@@ -1,0 +1,96 @@
+"""Sampling and residual math for lossless speculative decoding.
+
+Functional equivalents of the reference `utils.py`, keyed on explicit JAX
+PRNG keys (replacing torch's global RNG + per-prompt pre-generated uniform
+buffers, `Tree/SpecTree.py:60,84`). All distribution math runs in f32.
+
+Reference semantics preserved:
+- `residual` = normalize(relu(p - q))                    (`utils.py:5-8`)
+- without-replacement draft sampling via an exponential race
+  `(log U / q).topk(k)`                                  (`utils.py:10-18`);
+  here implemented as the equivalent Gumbel-top-k on log-probabilities.
+- top-p nucleus filtering at temperature T               (`utils.py:65-77`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def residual(p: jax.Array, q: jax.Array) -> jax.Array:
+    """normalize(relu(p - q)); rows sum to 1 unless p <= q everywhere
+    (then the reference produces NaN and treats it as terminal,
+    `Tree/SpecTree.py:219-220` — we keep NaN semantics so callers can check).
+    """
+    r = jnp.maximum(p - q, 0.0)
+    return r / jnp.sum(r, axis=-1, keepdims=True)
+
+
+def top_p_filter(logits: jax.Array, top_p: float, temperature: float) -> jax.Array:
+    """Mask (to -inf) tokens outside the nucleus. `get_sampling_logits`
+    semantics (`utils.py:65-77`): sort descending, keep tokens while the
+    cumulative probability *before* them is <= top_p (the first token always
+    survives)."""
+    if top_p >= 1.0:
+        return logits
+    sort_idx = jnp.argsort(-logits, axis=-1)
+    sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+    probs = jax.nn.softmax(sorted_logits / temperature, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    remove_sorted = (cum - probs) > top_p
+    inv = jnp.argsort(sort_idx, axis=-1)
+    remove = jnp.take_along_axis(remove_sorted, inv, axis=-1)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def target_probs(logits: jax.Array, top_p: float, temperature: float) -> jax.Array:
+    """Verification distribution p: nucleus-filtered softmax at temperature
+    (`Tree/SpecTree.py:196-198`)."""
+    filtered = top_p_filter(logits.astype(jnp.float32), top_p, temperature)
+    return jax.nn.softmax(filtered / temperature, axis=-1)
+
+
+def draft_probs(draft_logits: jax.Array, temperature: float) -> jax.Array:
+    """q = softmax(draft_logits / T) (`Tree/SpecTree.py:149`)."""
+    return jax.nn.softmax(draft_logits.astype(jnp.float32) / temperature, axis=-1)
+
+
+def sample_without_replacement(
+    key: jax.Array, logits: jax.Array, temperature: float, num_samples: int
+) -> jax.Array:
+    """Draw `num_samples` distinct tokens per row from softmax(logits/T),
+    ordered by draw. Gumbel-top-k is distributionally identical to the
+    reference exponential race (`utils.py:10-18`)."""
+    log_q = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+    gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
+    _, idx = jax.lax.top_k(log_q + gumbel, num_samples)
+    return idx
+
+
+def sample_with_replacement(
+    key: jax.Array, logits: jax.Array, temperature: float, num_samples: int
+) -> jax.Array:
+    """i.i.d. categorical draws (SpecInfer growth, `Tree/SpecInferTree.py:108`).
+    Returns `[..., num_samples]`."""
+    log_q = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+    batch = logits.shape[:-1]
+    draws = jax.random.categorical(key, log_q, axis=-1, shape=(num_samples, *batch))
+    return jnp.moveaxis(draws, 0, -1)
+
+
+def sample_argmax(logits: jax.Array, num_samples: int) -> jax.Array:
+    """Top-k tokens by logit (greedy growth, `utils.py:29-32`)."""
+    _, idx = jax.lax.top_k(logits, num_samples)
+    return idx
+
+
+def sample_categorical_probs(key: jax.Array, probs: jax.Array) -> jax.Array:
+    """One draw from a probability vector (bonus-token sampling,
+    `Tree/SpecTree.py:222`). NaN rows produce an arbitrary token; callers
+    must check `jnp.isnan` separately (terminal guard)."""
+    safe = jnp.where(jnp.isnan(probs), 0.0, probs)
+    logp = jnp.log(jnp.maximum(safe, 1e-30))
+    return jax.random.categorical(key, logp, axis=-1)

@@ -1,0 +1,154 @@
+"""Device-side tree verification: vectorized accept/reject for all four
+algorithms, plus path resolution.
+
+The reference runs the accept walk on the *host*, one scalar sync per tree
+edge (`Tree/SpecTree.py:203-213`: each `if p[token] > r * q[token]` forces a
+device->host read). On TPU that would cost a round-trip per edge. Here the
+walk is reformulated so everything happens on-device in one jitted region:
+
+1. For EVERY node simultaneously, scan over child rank j = 0..max_branch-1,
+   maintaining per-node target distribution `p` and draft logits. This
+   computes, for each node, "if the walk reaches this node, which child gets
+   accepted (or none), and what residual remains" — sibling order dependence
+   (p mutates as children are rejected, `Tree/SpecTree.py:146-156`) is
+   respected because the scan processes ranks in order; distinct parents are
+   independent given their own `p`, so they vectorize.
+2. A tiny `fori_loop` over tree depth then follows `accepted_child` pointers
+   from the root — no host involvement.
+
+Verification rules (SURVEY.md §2.1):
+- sequoia   : accept iff p[tok] >  r * q[tok]; on reject p <- residual(p, q),
+              draft logit of tok -> -inf (without-replacement refinement).
+- specinfer : accept iff p[tok] >= r * q[tok]; on reject p <- residual(p, q),
+              q unchanged (`Tree/SpecInferTree.py:141-160`).
+- greedy    : accept iff tok == argmax(target_logits)   (`GreedyTree.py:132-146`)
+- greedys   : accept iff tok == sample from filtered target distribution
+              (`GreedySTree.py:188-190`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import draft_probs, residual
+
+NEG_INF = float("-inf")
+
+
+class AcceptResult(NamedTuple):
+    accepted_child: jax.Array  # i32 [size]: first accepted child node id or -1
+    p_final: jax.Array         # f32 [size, vocab]: residual if all children rejected
+    target_token: jax.Array    # i32 [size]: greedy/greedys verification token
+                               # (argmax or sampled); -1 for stochastic algos
+
+
+def stochastic_accept(
+    p: jax.Array,               # f32 [size, vocab] target verification dist
+    draft_logits: jax.Array,    # f32 [size, vocab]
+    tokens_tree: jax.Array,     # i32 [size]
+    r: jax.Array,               # f32 [size] uniform threshold per node (edge into node)
+    successors: jax.Array,      # i32 [size, max_branch], -1 padded
+    temperature: float,
+    strict: bool,               # True: sequoia (p > r q); False: specinfer (p >= r q)
+    mask_rejected_draft: bool,  # True: sequoia without-replacement refinement
+) -> AcceptResult:
+    size, max_branch = successors.shape
+    node_idx = jnp.arange(size)
+
+    def rank_step(carry, succ_col):
+        p, draft_logits, accepted = carry
+        child = succ_col                       # i32 [size]
+        valid = child >= 0
+        child_c = jnp.where(valid, child, 0)
+        token = tokens_tree[child_c]           # [size]
+        q = draft_probs(draft_logits, temperature)  # [size, vocab]
+        p_tok = p[node_idx, token]
+        q_tok = q[node_idx, token]
+        thresh = r[child_c] * q_tok
+        accept_cond = (p_tok > thresh) if strict else (p_tok >= thresh)
+        active = valid & (accepted < 0)
+        newly = active & accept_cond
+        rejected = active & ~accept_cond
+
+        accepted = jnp.where(newly, child, accepted)
+        rej = rejected[:, None]
+        p = jnp.where(rej, residual(p, q), p)
+        if mask_rejected_draft:
+            masked = draft_logits.at[node_idx, token].set(NEG_INF)
+            draft_logits = jnp.where(rej, masked, draft_logits)
+        return (p, draft_logits, accepted), None
+
+    init = (p, draft_logits, jnp.full((size,), -1, jnp.int32))
+    (p_final, _, accepted), _ = jax.lax.scan(rank_step, init, successors.T)
+    return AcceptResult(
+        accepted_child=accepted,
+        p_final=p_final,
+        target_token=jnp.full((size,), -1, jnp.int32),
+    )
+
+
+def token_match_accept(
+    target_token: jax.Array,   # i32 [size]: per-node verification token
+    tokens_tree: jax.Array,    # i32 [size]
+    successors: jax.Array,     # i32 [size, max_branch], -1 padded
+) -> AcceptResult:
+    """Greedy / greedyS: accept the first child whose token equals the
+    node's verification token."""
+    valid = successors >= 0
+    child_tokens = tokens_tree[jnp.where(valid, successors, 0)]  # [size, B]
+    match = valid & (child_tokens == target_token[:, None])
+    any_match = match.any(axis=1)
+    first = jnp.argmax(match, axis=1)
+    accepted = jnp.where(
+        any_match, jnp.take_along_axis(successors, first[:, None], axis=1)[:, 0], -1
+    ).astype(jnp.int32)
+    return AcceptResult(
+        accepted_child=accepted,
+        p_final=jnp.zeros((successors.shape[0], 1), jnp.float32),
+        target_token=target_token,
+    )
+
+
+class PathResult(NamedTuple):
+    path: jax.Array          # i32 [max_depth]: accepted tree nodes in order, -1 pad
+    accept_count: jax.Array  # i32: number of accepted tree nodes (excl. root)
+    final_node: jax.Array    # i32: node whose residual feeds the bonus token
+    terminal: jax.Array      # bool: EOS accepted on the path
+
+
+def resolve_path(
+    accepted_child: jax.Array,
+    tokens_tree: jax.Array,
+    stop_tokens,
+    max_depth: int,
+) -> PathResult:
+    """Follow accepted_child pointers from the root; stop at first rejection
+    or at an accepted stop token (`Tree/SpecTree.py:203-213`)."""
+    stop = jnp.asarray(list(stop_tokens), jnp.int32)
+
+    def body(_, carry):
+        node, count, terminal, stopped, path = carry
+        nxt = accepted_child[node]
+        step = (nxt >= 0) & ~stopped
+        nxt_c = jnp.where(step, nxt, node)
+        tok = tokens_tree[nxt_c]
+        is_stop = step & jnp.isin(tok, stop)
+        path = jnp.where(step, path.at[count].set(nxt_c), path)
+        count = count + step.astype(jnp.int32)
+        terminal = terminal | is_stop
+        stopped = stopped | ~step | is_stop
+        return (nxt_c, count, terminal, stopped, path)
+
+    node0 = jnp.asarray(0, jnp.int32)
+    init = (
+        node0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.full((max_depth,), -1, jnp.int32),
+    )
+    node, count, terminal, _, path = jax.lax.fori_loop(0, max_depth, body, init)
+    return PathResult(path=path, accept_count=count, final_node=node, terminal=terminal)

@@ -1,0 +1,127 @@
+"""Losslessness of stochastic tree verification.
+
+The headline property of speculative sampling (and of Sequoia's
+without-replacement multi-round variant): the marginal distribution of the
+token emitted at a node — the accepted child if any, else the bonus token
+drawn from the final residual — must EXACTLY equal the target distribution
+p, for any draft distribution q and any branching factor.
+
+The reference argues this by construction and never tests it
+(SURVEY.md §4); here it is verified by Monte Carlo directly against the
+`stochastic_accept` + `resolve_path` + bonus pipeline used by the engine,
+and for the single-round with-replacement SpecInfer rule as a control.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sequoia_tpu.ops.sampling import (
+    sample_categorical_probs,
+    sample_with_replacement,
+    sample_without_replacement,
+)
+from sequoia_tpu.trees.accept import resolve_path, stochastic_accept
+
+VOCAB = 16
+
+
+def _emit_one(key, p_root, draft_logits_root, k_children, temperature, strict, mask_rejected):
+    """One trial: grow a depth-1 star tree with k draft children (without
+    replacement), run the accept walk, return the emitted token (accepted
+    child token, or bonus from the residual)."""
+    k_grow, k_r, k_bonus = jax.random.split(key, 3)
+    # Tree: node 0 root with children 1..k. Growth matches the verification
+    # rule: sequoia grows without replacement, specinfer i.i.d. with
+    # replacement (losslessness of each rule assumes its own growth).
+    size = k_children + 1
+    grow = sample_without_replacement if mask_rejected else sample_with_replacement
+    children = grow(k_grow, draft_logits_root[None, :], temperature, k_children)[0]
+    tokens_tree = jnp.concatenate([jnp.zeros((1,), jnp.int32), children.astype(jnp.int32)])
+    successors = jnp.full((size, k_children), -1, jnp.int32)
+    successors = successors.at[0, :].set(jnp.arange(1, size, dtype=jnp.int32))
+    p = jnp.zeros((size, VOCAB)).at[0].set(p_root)
+    dl = jnp.zeros((size, VOCAB)).at[0].set(draft_logits_root)
+    r = jax.random.uniform(k_r, (size,))
+    acc = stochastic_accept(
+        p, dl, tokens_tree, r, successors, temperature,
+        strict=strict, mask_rejected_draft=mask_rejected,
+    )
+    path = resolve_path(acc.accepted_child, tokens_tree, (255,), 1)
+    accepted_tok = tokens_tree[jnp.where(path.path[0] >= 0, path.path[0], 0)]
+    bonus = sample_categorical_probs(k_bonus, acc.p_final[0]).astype(jnp.int32)
+    return jnp.where(path.accept_count > 0, accepted_tok, bonus)
+
+
+@pytest.mark.parametrize(
+    "strict,mask_rejected,k_children",
+    [(True, True, 1), (True, True, 4), (False, False, 3)],
+    ids=["sequoia-k1", "sequoia-k4", "specinfer-k3"],
+)
+def test_emitted_marginal_equals_target(strict, mask_rejected, k_children):
+    rng = np.random.default_rng(0)
+    temperature = 0.8
+    p_root = rng.dirichlet(np.ones(VOCAB) * 0.7).astype(np.float32)
+    draft_logits = (rng.normal(size=VOCAB) * 1.5).astype(np.float32)
+
+    N = 60000
+    keys = jax.random.split(jax.random.PRNGKey(42), N)
+    emit = jax.jit(
+        jax.vmap(
+            lambda k: _emit_one(
+                k, jnp.asarray(p_root), jnp.asarray(draft_logits),
+                k_children, temperature, strict, mask_rejected,
+            )
+        )
+    )
+    toks = np.asarray(emit(keys))
+    freq = np.bincount(toks, minlength=VOCAB) / N
+    # Chi-square-style bound: each bin within ~5 sigma of binomial std.
+    std = np.sqrt(p_root * (1 - p_root) / N)
+    err = np.abs(freq - p_root)
+    assert (err < 5 * std + 1e-3).all(), (
+        f"marginal mismatch: max err {err.max():.4f} vs p {p_root[np.argmax(err)]:.4f}"
+    )
+
+
+def test_sequoia_beats_specinfer_acceptance():
+    """With identical budgets, without-replacement + draft masking must give
+    >= acceptance than with-replacement SpecInfer (the paper's core claim)."""
+    rng = np.random.default_rng(1)
+    temperature = 1.0
+    p_root = rng.dirichlet(np.ones(VOCAB)).astype(np.float32)
+    draft_logits = (rng.normal(size=VOCAB) * 2.0).astype(np.float32)
+    N = 20000
+    keys = jax.random.split(jax.random.PRNGKey(7), N)
+
+    def accept_rate(strict, mask_rejected):
+        grow = sample_without_replacement if mask_rejected else sample_with_replacement
+
+        def one(k):
+            k_grow, k_r = jax.random.split(k)
+            kch = 4
+            size = kch + 1
+            children = grow(
+                k_grow, jnp.asarray(draft_logits)[None, :], temperature, kch
+            )[0]
+            tokens_tree = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), children.astype(jnp.int32)]
+            )
+            successors = jnp.full((size, kch), -1, jnp.int32)
+            successors = successors.at[0, :].set(jnp.arange(1, size, dtype=jnp.int32))
+            p = jnp.zeros((size, VOCAB)).at[0].set(jnp.asarray(p_root))
+            dl = jnp.zeros((size, VOCAB)).at[0].set(jnp.asarray(draft_logits))
+            r = jax.random.uniform(k_r, (size,))
+            acc = stochastic_accept(
+                p, dl, tokens_tree, r, successors, temperature,
+                strict=strict, mask_rejected_draft=mask_rejected,
+            )
+            return (acc.accepted_child[0] >= 0).astype(jnp.float32)
+
+        return float(jnp.mean(jax.jit(jax.vmap(one))(keys)))
+
+    seq = accept_rate(True, True)
+    si = accept_rate(False, False)
+    assert seq >= si - 0.01, (seq, si)
+    assert seq > 0.3  # sanity: acceptance is nontrivial

@@ -89,6 +89,8 @@ class SpecEngine:
         temperature: float = 0.6,
         top_p: float = 0.9,
         prefill_chunk: int = 128,
+        mesh=None,
+        shard_draft: bool = False,
     ) -> None:
         assert algorithm in ALGORITHMS, algorithm
         assert draft_cfg.vocab_size == target_cfg.vocab_size
@@ -106,6 +108,17 @@ class SpecEngine:
         self.prefill_chunk = min(prefill_chunk, max_length)
         self.vocab = target_cfg.vocab_size
         self.stop_tokens = tuple(target_cfg.stop_tokens)
+        # Optional tensor parallelism: caller passes TP-sharded params (see
+        # parallel/sharding.py); the engine shards the KV caches to match and
+        # GSPMD propagates through the jitted iteration.
+        self.mesh = mesh
+        self.shard_draft = shard_draft
+        if mesh is not None:
+            from ..parallel.sharding import check_tp_divisibility
+
+            check_tp_divisibility(target_cfg, mesh.shape["tp"])
+            if shard_draft:
+                check_tp_divisibility(draft_cfg, mesh.shape["tp"])
 
         gm = growmap
         self.tree_size = gm.size
@@ -131,11 +144,19 @@ class SpecEngine:
     # ------------------------------------------------------------------
 
     def _fresh_state(self, key: jax.Array, kv_dtype) -> DecodeState:
+        draft_kv = KVCache.init(self.draft_cfg, self.max_length, kv_dtype)
+        target_kv = KVCache.init(self.target_cfg, self.max_length, kv_dtype)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_kv
+
+            target_kv = shard_kv(target_kv, self.mesh)
+            if self.shard_draft:
+                draft_kv = shard_kv(draft_kv, self.mesh)
         return DecodeState(
             tokens=jnp.zeros((self.max_length,), jnp.int32),
             gtl=jnp.asarray(0, jnp.int32),
-            draft_kv=KVCache.init(self.draft_cfg, self.max_length, kv_dtype),
-            target_kv=KVCache.init(self.target_cfg, self.max_length, kv_dtype),
+            draft_kv=draft_kv,
+            target_kv=target_kv,
             root_draft_logits=jnp.zeros((self.vocab,), jnp.float32),
             key=key,
             terminal=jnp.asarray(False),

@@ -115,6 +115,16 @@ class GrowMap:
 
     @staticmethod
     def from_fields(size, roots, branches, successors, ancestors, depth) -> "GrowMap":
+        # The reference materializer emits a final grow step that "expands"
+        # the deepest leaves with zero children (`tree_search.py:90-116`);
+        # its runtime then skips it by iterating `range(draft_step - 1)`
+        # (`Tree/SpecTree.py:249`). We strip zero-width steps here instead so
+        # the engine can execute every remaining step uniformly.
+        kept = [
+            (r, b) for r, b in zip(roots, branches) if int(sum(int(x) for x in b)) > 0
+        ]
+        roots = [r for r, _ in kept]
+        branches = [b for _, b in kept]
         gm = GrowMap(
             size=int(size),
             roots=[[int(x) for x in r] for r in roots],

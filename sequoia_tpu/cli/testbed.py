@@ -1,0 +1,150 @@
+"""Benchmark / evaluation CLI — the analog of the reference's
+`tests/testbed.py` (stochastic), `tests/testbed_greedy.py`,
+`tests/test_specinfer.py`, and `tests/test_greedyS.py`, unified: the four
+verification algorithms are one `--algorithm` flag on a single engine.
+
+Prints the reference's metrics (tests/testbed.py:94,215): total time,
+per-token latency, decoding steps, large-model steps, accepted/step.
+
+Weights: `--weights random` (default; latency-faithful) or a path to a HF
+checkpoint directory (`pytorch_model.bin` / safetensors state dict) when
+available. Prompts: `--prompts synthetic:N,LEN` or a JSON file with token
+id lists.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_params(name_or_path: str, weights: str, dtype_str: str, seed: int):
+    import jax
+    import jax.numpy as jnp
+
+    from ..core import init as pinit
+    from ..core.config import PRESETS, LlamaConfig, get_config
+
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype_str]
+    if name_or_path in PRESETS:
+        cfg = get_config(name_or_path)
+    else:
+        cfg = LlamaConfig.from_json(f"{name_or_path}/config.json")
+    if weights == "random":
+        params = pinit.random_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    else:
+        import torch
+
+        sd = torch.load(weights, map_location="cpu", weights_only=False)
+        params = pinit.params_from_hf_state_dict(cfg, sd, dtype=dtype)
+    return params, cfg
+
+
+def load_prompts(spec: str, vocab: int, seed: int):
+    if spec.startswith("synthetic:"):
+        n, ln = (int(x) for x in spec.split(":")[1].split(","))
+        rng = np.random.default_rng(seed)
+        return [rng.integers(10, vocab, size=ln) for _ in range(n)]
+    with open(spec) as f:
+        return [np.asarray(p, np.int32) for p in json.load(f)]
+
+
+def load_growmap(spec: str):
+    from ..trees.growmap import GrowMap, chain, uniform_tree
+
+    if spec.startswith("chain:"):
+        return chain(int(spec.split(":")[1]))
+    if spec.startswith("tree:"):
+        d, b = (int(x) for x in spec.split(":")[1].split("x"))
+        return uniform_tree(d, b)
+    if spec == "planned":
+        from ..planner.dp import plan
+        from ..planner.profile import default_acceptance_vector
+
+        gm, _ = plan(
+            default_acceptance_vector(), [1, 2, 4, 8, 16, 32, 64],
+            [1.0, 1.0, 1.01, 1.02, 1.05, 1.1, 1.2], 0.05, max_depth=8,
+        )
+        return gm
+    return GrowMap.load(spec)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--draft", default="llama-68m", help="preset name or config dir")
+    ap.add_argument("--target", default="llama-2-7b")
+    ap.add_argument("--draft-weights", default="random")
+    ap.add_argument("--target-weights", default="random")
+    ap.add_argument("--growmap", default="planned",
+                    help="path | chain:N | tree:DxB | planned")
+    ap.add_argument("--algorithm", default="sequoia",
+                    choices=["sequoia", "specinfer", "greedy", "greedys"])
+    ap.add_argument("--mode", default="spec", choices=["spec", "baseline"])
+    ap.add_argument("--T", type=float, default=0.6)
+    ap.add_argument("--P", type=float, default=0.9)
+    ap.add_argument("--M", type=int, default=256, help="max buffer length")
+    ap.add_argument("--gen", type=int, default=128, help="max new tokens/prompt")
+    ap.add_argument("--prompts", default="synthetic:4,128")
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--device-loop", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    from ..engine.baseline import ARBaseline
+    from ..engine.engine import SpecEngine
+
+    target_params, target_cfg = build_params(
+        args.target, args.target_weights, args.dtype, args.seed
+    )
+    prompts = load_prompts(args.prompts, target_cfg.vocab_size, args.seed)
+
+    total_tokens = 0
+    total_steps = 0
+    t_total = 0.0
+    if args.mode == "baseline":
+        ar = ARBaseline(
+            target_params, target_cfg, max_length=args.M,
+            temperature=args.T, top_p=args.P, greedy=(args.algorithm == "greedy"),
+        )
+        ar.generate_fast(prompts[0], max_new_tokens=4)  # compile
+        for i, prompt in enumerate(prompts):
+            t0 = time.perf_counter()
+            out = ar.generate_fast(prompt, max_new_tokens=args.gen, seed=args.seed + i)
+            t_total += time.perf_counter() - t0
+            produced = len(out) - len(prompt)
+            total_tokens += produced
+            total_steps += produced
+    else:
+        draft_params, draft_cfg = build_params(
+            args.draft, args.draft_weights, args.dtype, args.seed + 1
+        )
+        gm = load_growmap(args.growmap)
+        eng = SpecEngine(
+            draft_params, draft_cfg, target_params, target_cfg, gm,
+            algorithm=args.algorithm, max_length=args.M,
+            temperature=args.T, top_p=args.P,
+        )
+        eng.generate_fast(prompts[0], max_new_tokens=4)  # compile
+        for i, prompt in enumerate(prompts):
+            t0 = time.perf_counter()
+            eng.generate_fast(prompt, max_new_tokens=args.gen, seed=args.seed + i)
+            t_total += time.perf_counter() - t0
+            total_tokens += eng.num_decoding_steps
+            total_steps += eng.num_large_model_steps
+
+    # Reference metric block (tests/testbed.py:94).
+    print(f"total time: {t_total:.3f}s")
+    print(f"decoding steps (tokens): {total_tokens}")
+    print(f"large model steps: {total_steps}")
+    if total_tokens:
+        print(f"per-token latency: {t_total / total_tokens * 1e3:.2f} ms")
+    if total_steps:
+        print(f"accepted tokens per target step: {total_tokens / total_steps:.3f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from .config import LlamaConfig
 from ..kvcache.cache import KVCache
+from ..quant.qtensor import matmul as qmm
 
 NEG_INF = float("-inf")
 
@@ -109,9 +110,9 @@ def forward(
         lp, k_cache, v_cache = xs  # k/v_cache: [M, Hkv, D]
 
         x = rms_norm(hidden, lp.attn_norm, cfg.rms_norm_eps)
-        q = (x @ lp.wq).reshape(Q, H, D)
-        k = (x @ lp.wk).reshape(Q, Hkv, D)
-        v = (x @ lp.wv).reshape(Q, Hkv, D)
+        q = qmm(x, lp.wq).reshape(Q, H, D)
+        k = qmm(x, lp.wk).reshape(Q, Hkv, D)
+        v = qmm(x, lp.wv).reshape(Q, Hkv, D)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -127,10 +128,10 @@ def forward(
         probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
         attn = jnp.einsum("hgqm,mhd->qhgd", probs, v_cache)
         attn = attn.reshape(Q, H * D)
-        hidden = hidden + attn @ lp.wo
+        hidden = hidden + qmm(attn, lp.wo)
 
         y = rms_norm(hidden, lp.mlp_norm, cfg.rms_norm_eps)
-        mlp = (jax.nn.silu(y @ lp.w_gate) * (y @ lp.w_up)) @ lp.w_down
+        mlp = qmm(jax.nn.silu(qmm(y, lp.w_gate)) * qmm(y, lp.w_up), lp.w_down)
         hidden = hidden + mlp
         return hidden, (k_cache, v_cache)
 
@@ -138,5 +139,5 @@ def forward(
         layer_step, hidden, (params.layers, kv.k, kv.v)
     )
     hidden = rms_norm(hidden, params.final_norm, cfg.rms_norm_eps)
-    logits = jnp.dot(hidden, params.lm_head, preferred_element_type=jnp.float32)
+    logits = qmm(hidden, params.lm_head, preferred_element_type=jnp.float32)
     return logits, KVCache(k=new_k, v=new_v)

@@ -52,6 +52,7 @@ class ARBaseline:
         self.prefill_chunk = min(prefill_chunk, max_length)
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
         self._prefill_chunk_fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
+        self._loop = jax.jit(self._loop_impl, donate_argnums=(1,))
 
     def _prefill_impl(self, params, state: ARState, chunk, offset, prompt_len):
         C = chunk.shape[0]
@@ -94,10 +95,27 @@ class ARBaseline:
             terminal=state.terminal | stop,
         ), token
 
-    def generate(self, prompt: np.ndarray, max_new_tokens: int = 128, seed: int = 0) -> np.ndarray:
+    def _loop_impl(self, params, state: ARState, max_new_tokens):
+        """Whole decode loop on device (one dispatch; see engine.py on
+        host-sync cost)."""
+
+        def cond(carry):
+            state, produced = carry
+            return (~state.terminal) & (produced < max_new_tokens)
+
+        def body(carry):
+            state, produced = carry
+            state, _ = self._step_impl(params, state)
+            return (state, produced + 1)
+
+        state, produced = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0, jnp.int32))
+        )
+        return state, produced
+
+    def _prefill_state(self, prompt: np.ndarray, seed: int) -> "tuple[ARState, int]":
         prompt = np.asarray(prompt, np.int32).reshape(-1)
         plen = len(prompt)
-        assert plen + max_new_tokens <= self.max_length
         state = ARState(
             tokens=jnp.zeros((self.max_length,), jnp.int32),
             n=jnp.asarray(plen, jnp.int32),
@@ -115,6 +133,20 @@ class ARBaseline:
                 self.params, state, jnp.asarray(padded[off : off + C]),
                 jnp.asarray(off, jnp.int32), jnp.asarray(plen, jnp.int32),
             )
+        return state, plen
+
+    def generate_fast(self, prompt: np.ndarray, max_new_tokens: int = 128, seed: int = 0) -> np.ndarray:
+        state, plen = self._prefill_state(prompt, seed)
+        assert plen + max_new_tokens <= self.max_length
+        state, produced = self._loop(
+            self.params, state, jnp.asarray(max_new_tokens, jnp.int32)
+        )
+        n = plen + int(produced)
+        return np.asarray(jax.device_get(state.tokens))[:n]
+
+    def generate(self, prompt: np.ndarray, max_new_tokens: int = 128, seed: int = 0) -> np.ndarray:
+        state, plen = self._prefill_state(prompt, seed)
+        assert plen + max_new_tokens <= self.max_length
         n = plen
         for _ in range(max_new_tokens):
             state, _tok = self._step(self.params, state)

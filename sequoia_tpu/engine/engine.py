@@ -65,8 +65,11 @@ class DecodeState(NamedTuple):
 
 
 class StepStats(NamedTuple):
-    emitted: jax.Array   # i32 tokens committed this iteration (accepted + bonus)
-    terminal: jax.Array  # bool
+    emitted: jax.Array     # i32 tokens committed this iteration (accepted + bonus)
+    terminal: jax.Array    # bool
+    first_rank: jax.Array  # i32 sibling rank of the first accepted child, or -1
+                           # (drives dynamic acceptance-vector measurement,
+                           # the SpecTreeTest `b` return, Tree/SpecTree.py:479)
 
 
 def _round_up(n: int, m: int) -> int:
@@ -127,6 +130,7 @@ class SpecEngine:
         self._anc = jnp.asarray(gm.ancestors)
         self._succ = jnp.asarray(gm.successors_padded())
         self._depth = jnp.asarray(gm.depth, jnp.int32)
+        self._child_rank = jnp.asarray(gm.child_rank())
         self._level_roots = [jnp.asarray(r, jnp.int32) for r in gm.roots]
         self._level_gather = [jnp.asarray(gm.sample_gather_index(i)) for i in range(gm.num_grow_steps)]
         self._level_widths = gm.level_widths
@@ -135,6 +139,7 @@ class SpecEngine:
 
         self._iterate = jax.jit(self._iterate_impl, donate_argnums=(2,))
         self._prefill_chunk_fn = jax.jit(self._prefill_chunk_impl, donate_argnums=(2,))
+        self._generate_loop = jax.jit(self._generate_loop_impl, donate_argnums=(2,))
         # Counters (reference metric: tests/testbed.py:94).
         self.num_decoding_steps = 0
         self.num_large_model_steps = 0
@@ -356,6 +361,10 @@ class SpecEngine:
             draft_kv, new_ts, root_mask,
         )
 
+        first_child = path.path[0]
+        first_rank = jnp.where(
+            first_child >= 0, self._child_rank[jnp.maximum(first_child, 0)], -1
+        ).astype(jnp.int32)
         new_state = DecodeState(
             tokens=tokens_buf,
             gtl=new_gtl,
@@ -365,10 +374,65 @@ class SpecEngine:
             key=key,
             terminal=state.terminal | terminal,
         )
-        return new_state, StepStats(emitted=emitted, terminal=new_state.terminal)
+        return new_state, StepStats(
+            emitted=emitted, terminal=new_state.terminal, first_rank=first_rank
+        )
 
     # ------------------------------------------------------------------
-    # Generation loop
+    # Fully on-device generation loop
+    # ------------------------------------------------------------------
+
+    def _generate_loop_impl(
+        self,
+        draft_params: LlamaParams,
+        target_params: LlamaParams,
+        state: DecodeState,
+        max_new_tokens,  # i32 scalar (traced: no recompile per budget)
+        start_gtl,       # i32 scalar
+    ):
+        """Run speculative iterations in a `lax.while_loop` until EOS /
+        budget / buffer exhaustion. ONE dispatch per generate() call — the
+        host-side loop costs one tunnel round-trip per iteration (~25 ms on
+        remote-TPU setups), which would dwarf the target forward itself."""
+        M = self.max_length
+
+        def cond(carry):
+            state, produced, steps = carry
+            fits = (state.gtl - 1 + self.tree_size <= M) & (
+                state.gtl + self.max_depth + 1 <= M
+            )
+            return (~state.terminal) & (produced < max_new_tokens) & fits
+
+        def body(carry):
+            state, produced, steps = carry
+            state, stats = self._iterate_impl(draft_params, target_params, state)
+            return (state, produced + stats.emitted, steps + 1)
+
+        init = (state, jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        state, produced, steps = jax.lax.while_loop(cond, body, init)
+        return state, produced, steps
+
+    def generate_fast(
+        self,
+        prompt: np.ndarray,
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Like `generate`, but the whole decode loop runs on device; the
+        host syncs once at the end."""
+        state = self.prefill(prompt, seed=seed)
+        plen = int(len(np.asarray(prompt).reshape(-1)))
+        state, produced, steps = self._generate_loop(
+            self.draft_params, self.target_params, state,
+            jnp.asarray(max_new_tokens, jnp.int32), jnp.asarray(plen, jnp.int32),
+        )
+        self.num_decoding_steps = int(produced)
+        self.num_large_model_steps = int(steps)
+        tokens = np.asarray(jax.device_get(state.tokens))
+        return tokens[: plen + self.num_decoding_steps]
+
+    # ------------------------------------------------------------------
+    # Host-stepped generation loop (per-iteration stats / debugging)
     # ------------------------------------------------------------------
 
     def generate(

@@ -46,11 +46,48 @@ def top_p_filter(logits: jax.Array, top_p: float, temperature: float) -> jax.Arr
     return jnp.where(remove, NEG_INF, logits)
 
 
-def target_probs(logits: jax.Array, top_p: float, temperature: float) -> jax.Array:
+def top_p_threshold(probs: jax.Array, top_p: float, iters: int = 32) -> jax.Array:
+    """Per-row nucleus cutoff c* = inf{c : sum(probs[probs > c]) <= top_p},
+    found by bisection — NO sort. A token is in the nucleus iff its
+    probability >= c* (identical to the sort-based reference filter,
+    `utils.py:65-77`, modulo exact ties which have measure zero for real
+    logits). Vocab-sized sorts cost tens of ms on TPU; bisection is `iters`
+    masked-sum passes (~1 ms total), and after 32 halvings the interval is
+    below f32 resolution.
+    """
+    lo = jnp.zeros(probs.shape[:-1], probs.dtype)
+    hi = jnp.max(probs, axis=-1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        mass = jnp.sum(jnp.where(probs > mid[..., None], probs, 0.0), axis=-1)
+        gt = mass > top_p  # need a larger cutoff
+        return (jnp.where(gt, mid, lo), jnp.where(gt, hi, mid))
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    # Exact boundary resolution: the candidate cutoff token is the smallest
+    # probability still above `lo`; it is kept iff the mass strictly above
+    # it fits in the nucleus (the reference keeps the first token that
+    # crosses top_p, `utils.py:73-74`).
+    cand = jnp.min(jnp.where(probs > lo[..., None], probs, jnp.inf), axis=-1)
+    mass_gt = jnp.sum(jnp.where(probs > cand[..., None], probs, 0.0), axis=-1)
+    include_cand = mass_gt <= top_p
+    # Return an inclusive threshold t such that keep = probs >= t.
+    return jnp.where(include_cand, cand, jnp.nextafter(cand, jnp.inf))
+
+
+def target_probs(
+    logits: jax.Array, top_p: float, temperature: float
+) -> jax.Array:
     """Verification distribution p: nucleus-filtered softmax at temperature
-    (`Tree/SpecTree.py:196-198`)."""
-    filtered = top_p_filter(logits.astype(jnp.float32), top_p, temperature)
-    return jax.nn.softmax(filtered / temperature, axis=-1)
+    (`Tree/SpecTree.py:196-198`). Sort-free (see `top_p_threshold`)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
+    if top_p >= 1.0:
+        return probs
+    c = top_p_threshold(probs, top_p)
+    kept = jnp.where(probs >= c[..., None], probs, 0.0)
+    return kept / jnp.sum(kept, axis=-1, keepdims=True)
 
 
 def draft_probs(draft_logits: jax.Array, temperature: float) -> jax.Array:

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import LlamaConfig
 from ..core.model import LayerParams, LlamaParams
 from ..kvcache.cache import KVCache
+from ..quant.qtensor import QuantizedTensor
 
 
 def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
@@ -38,27 +39,46 @@ def check_tp_divisibility(cfg: LlamaConfig, tp: int) -> None:
     assert cfg.vocab_size % tp == 0
 
 
-def tp_param_specs() -> LlamaParams:
-    """PartitionSpec pytree for Megatron-style TP:
-    column-parallel qkv/gate/up (shard the output features = heads),
-    row-parallel o/down (shard the input features; XLA inserts the
-    all-reduce on the residual add), vocab-parallel lm_head."""
+def tp_param_specs(params: LlamaParams) -> LlamaParams:
+    """PartitionSpec pytree (matching `params`' structure, including
+    quantized leaves) for Megatron-style TP: column-parallel qkv/gate/up
+    (shard the output features = heads), row-parallel o/down (shard the
+    input features; XLA inserts the all-reduce on the residual add),
+    vocab-parallel lm_head.
+
+    For QuantizedTensor leaves the per-out-channel scale shards with the
+    output axis on column-parallel weights and is replicated on
+    row-parallel weights (the scale has no input axis to shard)."""
+
+    def col(w, ndim):  # shard the last (output) axis
+        spec = P(*([None] * (ndim - 1)), "tp")
+        if isinstance(w, QuantizedTensor):
+            return QuantizedTensor(q=spec, scale=spec)
+        return spec
+
+    def row(w, ndim):  # shard the second-to-last (input) axis
+        spec = P(*([None] * (ndim - 2)), "tp", None)
+        if isinstance(w, QuantizedTensor):
+            return QuantizedTensor(q=spec, scale=P(*([None] * ndim)))
+        return spec
+
+    lp = params.layers
     layer = LayerParams(
         attn_norm=P(None, None),
-        wq=P(None, None, "tp"),
-        wk=P(None, None, "tp"),
-        wv=P(None, None, "tp"),
-        wo=P(None, "tp", None),
+        wq=col(lp.wq, 3),
+        wk=col(lp.wk, 3),
+        wv=col(lp.wv, 3),
+        wo=row(lp.wo, 3),
         mlp_norm=P(None, None),
-        w_gate=P(None, None, "tp"),
-        w_up=P(None, None, "tp"),
-        w_down=P(None, "tp", None),
+        w_gate=col(lp.w_gate, 3),
+        w_up=col(lp.w_up, 3),
+        w_down=row(lp.w_down, 3),
     )
     return LlamaParams(
-        embed=P(None, None),       # replicated (gather by token id is cheap)
+        embed=P(None, None),            # replicated (gather by token id is cheap)
         layers=layer,
         final_norm=P(None),
-        lm_head=P(None, "tp"),     # vocab-parallel; logits all-gathered
+        lm_head=col(params.lm_head, 2),  # vocab-parallel; logits all-gathered
     )
 
 
@@ -69,10 +89,10 @@ def tp_kv_spec() -> KVCache:
 
 
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
-    specs = tp_param_specs()
+    specs = tp_param_specs(params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs,
-        is_leaf=lambda x: isinstance(x, jax.Array) or hasattr(x, "shape"),
+        is_leaf=lambda x: isinstance(x, P),
     )
 
 

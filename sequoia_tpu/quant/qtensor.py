@@ -1,0 +1,106 @@
+"""Weight-only quantization for target models.
+
+Replaces the reference's CPU-offloading path (`Engine/offload_engine.py`) as
+the way to serve a target that doesn't fit in one device's HBM
+(SURVEY.md §2.4): an int8 (or packed-int4) weight with per-output-channel
+scales streams half (quarter) the bytes of bf16 — decode is weight-bandwidth
+bound, so this is also a ~2x (~4x) per-forward speedup.
+
+The dequant happens INSIDE the matmul: `x @ q.astype(bf16) * scale` — XLA
+fuses the convert into the dot so the weight is read from HBM in its
+quantized form and expanded in registers; the full bf16 weight never
+materializes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Union
+
+import jax
+import jax.numpy as jnp
+
+
+class QuantizedTensor(NamedTuple):
+    """Symmetric per-output-channel quantized matrix.
+
+    q:     int8  [..., in, out]        (int4: packed two-per-byte on `out`)
+    scale: f32   [..., 1, out]
+    bits:  static marker via shape — int8 stores `out` columns, int4 packed
+           stores `out/2` bytes; `out` is recovered from `scale`.
+    """
+
+    q: jax.Array
+    scale: jax.Array
+
+
+WeightLike = Union[jax.Array, QuantizedTensor]
+
+
+def quantize_int8(w: jax.Array) -> QuantizedTensor:
+    """w: [..., in, out] float -> int8 with per-out-channel scale."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, out]
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedTensor(q=q, scale=scale)
+
+
+def quantize_int4(w: jax.Array) -> QuantizedTensor:
+    """int4 symmetric per-out-channel, packed 2 values/byte along `in`
+    (even rows in low nibble, odd rows in high nibble)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    assert q.shape[-2] % 2 == 0, "int4 packing needs even `in` dim"
+    lo = q[..., 0::2, :] & 0x0F
+    hi = (q[..., 1::2, :] & 0x0F) << 4
+    packed = (lo | hi).astype(jnp.int8)
+    return QuantizedTensor(q=packed, scale=scale)
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """[..., in/2, out] packed -> [..., in, out] int8 in [-7, 7]."""
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    # sign-extend 4-bit two's complement
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
+    return stacked.reshape(*packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
+
+
+def is_int4(w: QuantizedTensor) -> bool:
+    return w.q.shape[-2] != w.scale.shape[-2] and (
+        w.q.shape[-2] * 2 == _expected_in_dim(w)
+    )
+
+
+def _expected_in_dim(w: QuantizedTensor) -> int:
+    # Heuristic: int4 halves the stored `in` dim; callers track bits via
+    # shape relation with the activation they multiply. Exposed for tests.
+    return w.q.shape[-2] * 2
+
+
+def matmul(x: jax.Array, w: WeightLike, *, preferred_element_type=None) -> jax.Array:
+    """x @ w with on-the-fly dequantization for QuantizedTensor weights."""
+    if isinstance(w, QuantizedTensor):
+        if w.q.shape[-2] == x.shape[-1]:
+            wq = w.q  # int8
+        else:
+            assert w.q.shape[-2] * 2 == x.shape[-1], (w.q.shape, x.shape)
+            wq = _unpack_int4(w.q)
+        y = jnp.dot(
+            x, wq.astype(x.dtype),
+            preferred_element_type=preferred_element_type or jnp.float32,
+        )
+        y = y * w.scale.astype(y.dtype)
+        if preferred_element_type is None:
+            y = y.astype(x.dtype)
+        return y
+    return jnp.dot(x, w, preferred_element_type=preferred_element_type or x.dtype)
+
+
+def dequantize(w: QuantizedTensor, in_dim: int, dtype=jnp.float32) -> jax.Array:
+    q = w.q if w.q.shape[-2] == in_dim else _unpack_int4(w.q)
+    return (q.astype(jnp.float32) * w.scale).astype(dtype)

@@ -121,12 +121,20 @@ def forward(
 
         # GQA without materializing repeated KV heads.
         qg = q.reshape(Q, Hkv, G, D)
-        scores = jnp.einsum(
-            "qhgd,mhd->hgqm", qg, k_cache, preferred_element_type=jnp.float32
-        ) * scale                                  # [Hkv, G, Q, M] f32
-        scores = scores + bias[None, None, :, :]
-        probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-        attn = jnp.einsum("hgqm,mhd->qhgd", probs, v_cache)
+        if cfg.attention_impl == "xla":
+            scores = jnp.einsum(
+                "qhgd,mhd->hgqm", qg, k_cache, preferred_element_type=jnp.float32
+            ) * scale                              # [Hkv, G, Q, M] f32
+            scores = scores + bias[None, None, :, :]
+            probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+            attn = jnp.einsum("hgqm,mhd->qhgd", probs, v_cache)
+        else:
+            from ..kernels.tree_attention import tree_attention
+
+            attn = tree_attention(
+                qg, k_cache, v_cache, attn_mask,
+                interpret=(cfg.attention_impl == "pallas_interpret"),
+            )
         attn = attn.reshape(Q, H * D)
         hidden = hidden + qmm(attn, lp.wo)
 

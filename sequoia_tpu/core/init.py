@@ -93,5 +93,55 @@ def params_from_hf_state_dict(cfg: LlamaConfig, state_dict, dtype=jnp.bfloat16) 
     )
 
 
+def _read_checkpoint_dir(path: str) -> dict:
+    """Collect the full state dict from a HF checkpoint directory, handling
+    single-file and sharded layouts for both safetensors and torch `.bin`
+    (the reference always loads through `from_pretrained`,
+    `Engine/Engine.py:18`; we read the files directly — no torch module is
+    ever constructed, so host RAM stays bounded by one shard at a time)."""
+    import json as _json
+    import os
+
+    sd: dict = {}
+
+    def load_shard(fname: str) -> dict:
+        fp = os.path.join(path, fname)
+        if fname.endswith(".safetensors"):
+            # Load through torch, not numpy: numpy has no bfloat16, and HF
+            # checkpoints are typically bf16/fp16.
+            from safetensors.torch import load_file
+
+            return load_file(fp)
+        import torch
+
+        return torch.load(fp, map_location="cpu", weights_only=True)
+
+    for index_name in ("model.safetensors.index.json", "pytorch_model.bin.index.json"):
+        idx = os.path.join(path, index_name)
+        if os.path.exists(idx):
+            with open(idx) as f:
+                weight_map = _json.load(f)["weight_map"]
+            for shard in sorted(set(weight_map.values())):
+                sd.update(load_shard(shard))
+            return sd
+    for single in ("model.safetensors", "pytorch_model.bin"):
+        if os.path.exists(os.path.join(path, single)):
+            return load_shard(single)
+    raise FileNotFoundError(f"no model weights found under {path}")
+
+
+def load_hf_checkpoint(path: str, dtype=jnp.bfloat16):
+    """Load a HuggingFace Llama checkpoint directory (config.json +
+    safetensors or torch weights, sharded or not) into
+    `(LlamaParams, LlamaConfig)`."""
+    import os
+
+    from .config import LlamaConfig
+
+    cfg = LlamaConfig.from_json(os.path.join(path, "config.json"))
+    sd = _read_checkpoint_dir(path)
+    return params_from_hf_state_dict(cfg, sd, dtype=dtype), cfg
+
+
 def param_count(params: LlamaParams) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

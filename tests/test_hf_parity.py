@@ -1,0 +1,75 @@
+"""HF interop: checkpoint-dir loading + logits parity against transformers.
+
+The reference consumes weights exclusively through HF `from_pretrained`
+(`Engine/Engine.py:18`); our loader reads the files directly. Parity of the
+full forward against the official `LlamaForCausalLM` on the same weights is
+the strongest correctness check available offline — it validates rope,
+RMSNorm, GQA head layout, SwiGLU, and the state-dict transposes all at once.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp
+
+from sequoia_tpu.core.init import load_hf_checkpoint
+from sequoia_tpu.kvcache.cache import KVCache
+from sequoia_tpu.core.model import forward
+from sequoia_tpu.ops import masks
+
+
+def _make_hf_checkpoint(tmp_path, num_kv_heads, safe_serialization):
+    from transformers import LlamaConfig as HFConfig
+    from transformers import LlamaForCausalLM
+
+    torch.manual_seed(3)
+    hf_cfg = HFConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=num_kv_heads,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = LlamaForCausalLM(hf_cfg)
+    model.eval()
+    path = tmp_path / "ckpt"
+    model.save_pretrained(path, safe_serialization=safe_serialization)
+    return model, str(path)
+
+
+@pytest.mark.parametrize("num_kv_heads", [4, 2])
+@pytest.mark.parametrize("safe_serialization", [True, False])
+def test_logits_parity(tmp_path, num_kv_heads, safe_serialization):
+    model, path = _make_hf_checkpoint(tmp_path, num_kv_heads, safe_serialization)
+    params, cfg = load_hf_checkpoint(path, dtype=jnp.float32)
+    assert cfg.num_kv_heads == num_kv_heads
+
+    T = 9
+    ids = np.array([[5, 7, 99, 13, 1, 64, 100, 2, 77]], np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits[0].float().numpy()
+
+    tokens = jnp.asarray(ids[0], jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    kv = KVCache.init(cfg, 16, jnp.float32)
+    mask = masks.causal_mask(T, 16, 0)
+    got, _ = forward(params, cfg, tokens, pos, kv, 0, mask)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_checkpoint_load(tmp_path):
+    model, path = _make_hf_checkpoint(tmp_path, 4, True)
+    # Re-save sharded: force a tiny max shard size so the index path is hit.
+    model.save_pretrained(path, safe_serialization=True, max_shard_size="100KB")
+    params, cfg = load_hf_checkpoint(path, dtype=jnp.float32)
+    ref_embed = model.model.embed_tokens.weight.detach().numpy()
+    np.testing.assert_allclose(np.asarray(params.embed), ref_embed, rtol=1e-6, atol=1e-6)

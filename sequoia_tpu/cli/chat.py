@@ -1,0 +1,198 @@
+"""Interactive / MT-Bench chat runner — the analog of the reference's
+`tests/run_sequoia.py` (stochastic), `tests/greedy_run.py` (greedy,
+Llama-3-aware), and `tests/specinfer_run.py`, unified behind `--algorithm`.
+
+Differences from the reference, by design (SURVEY.md §2.4):
+- The CPU-offloading target backend (`--staylayer`) is replaced by weight-only
+  quantization (`--quant int8|int4`) + optional TP sharding (`--tp`): on TPU a
+  70B target is served by sharding over ICI and int4 matmuls, not by PCIe
+  streaming.
+- Prompt template, MT-Bench loading, seed, and stop-token handling match the
+  reference (`tests/run_sequoia.py:82,284-297`; Llama-3 EOS override
+  `tests/greedy_run.py:129` becomes `--stop-tokens`).
+
+Runs offline with `--tokenizer none` (token-id streaming) or with a local HF
+tokenizer directory.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _load_tokenizer(spec: str):
+    if spec == "none":
+        return None
+    from transformers import AutoTokenizer
+
+    return AutoTokenizer.from_pretrained(spec, use_fast=True)
+
+
+def _decode_stream(tokenizer, toks: np.ndarray, so_far: list) -> str:
+    """Incremental detokenization: decode the full sequence and emit the
+    suffix (robust to multi-token unicode, same effect as the reference's
+    re-decode-per-iteration at tests/run_sequoia.py:140-145)."""
+    so_far.extend(int(t) for t in toks)
+    return tokenizer.decode(so_far, skip_special_tokens=True)
+
+
+def run_prompts(engine, prompts_tokens, args, tokenizer) -> dict:
+    total_tokens = 0
+    total_steps = 0
+    t_total = 0.0
+    for i, prompt in enumerate(prompts_tokens):
+        if len(prompt) + engine.tree_size + 1 > args.M:
+            print(f"[prompt {i} too long ({len(prompt)}), skipped]")
+            continue
+        print(f"\n=== prompt {i} ({len(prompt)} tokens) ===")
+        acc: list = []
+        shown = 0
+        t0 = time.perf_counter()
+        for new in engine.stream(prompt, max_new_tokens=args.gen, seed=args.seed + i):
+            if tokenizer is not None:
+                text = _decode_stream(tokenizer, new, acc)
+                sys.stdout.write(text[shown:])
+                shown = len(text)
+            else:
+                sys.stdout.write(" " + " ".join(str(int(t)) for t in new))
+            sys.stdout.flush()
+        t_total += time.perf_counter() - t0
+        print()
+        total_tokens += engine.num_decoding_steps
+        total_steps += engine.num_large_model_steps
+    return {
+        "total_time_s": t_total,
+        "tokens": total_tokens,
+        "large_model_steps": total_steps,
+    }
+
+
+class _BaselineStream:
+    """Adapts ARBaseline to the streaming interface `run_prompts` expects
+    (one 'step' per token; accepted/step is 1 by definition)."""
+
+    tree_size = 1
+
+    def __init__(self, ar) -> None:
+        self.ar = ar
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+
+    def stream(self, prompt, max_new_tokens, seed):
+        self.num_decoding_steps = 0
+        for tok in self.ar.stream(prompt, max_new_tokens=max_new_tokens, seed=seed):
+            self.num_decoding_steps += 1
+            self.num_large_model_steps = self.num_decoding_steps
+            yield tok
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--draft", default="llama-68m", help="preset or HF checkpoint dir")
+    ap.add_argument("--target", default="llama-2-7b")
+    ap.add_argument("--tokenizer", default="none",
+                    help="'none' (token-id streaming) or local HF tokenizer dir")
+    ap.add_argument("--growmap", default="planned", help="path | chain:N | tree:DxB | planned")
+    ap.add_argument("--algorithm", default="sequoia",
+                    choices=["sequoia", "specinfer", "greedy", "greedys"])
+    ap.add_argument("--mode", default="spec", choices=["spec", "baseline"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"],
+                    help="target weight-only quantization (offload-path replacement)")
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
+    ap.add_argument("--T", type=float, default=0.6)
+    ap.add_argument("--P", type=float, default=0.9)
+    ap.add_argument("--M", type=int, default=1024, help="max buffer length")
+    ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--stop-tokens", default=None,
+                    help="comma-separated EOS ids (Llama-3: 128009,128001)")
+    ap.add_argument("--data-root", default="tests/dataset",
+                    help="directory holding mt_bench.jsonl (auto-download if net)")
+    ap.add_argument("--prompts", default=None,
+                    help="override: synthetic:N,LEN | token-id JSON file | text file (one prompt/line)")
+    ap.add_argument("--limit", type=int, default=None, help="max prompts")
+    args = ap.parse_args(argv)
+
+    import dataclasses
+
+    from ..data.datasets import ensure_mt_bench, format_inst, load_mt_bench_prompts
+    from ..engine.baseline import ARBaseline
+    from ..engine.engine import SpecEngine
+    from .testbed import build_params, load_growmap, load_prompts
+
+    tokenizer = _load_tokenizer(args.tokenizer)
+    target_params, target_cfg = build_params(
+        args.target, "auto", args.dtype, args.seed
+    )
+    if args.stop_tokens:
+        stops = tuple(int(t) for t in args.stop_tokens.split(","))
+        target_cfg = dataclasses.replace(target_cfg, stop_tokens=stops)
+    if args.quant != "none":
+        from ..quant.quantize import quantize_model
+
+        target_params = quantize_model(target_params, bits=int(args.quant[3:]))
+
+    mesh = None
+    if args.tp > 1:
+        from ..parallel.sharding import make_mesh, shard_params
+
+        mesh = make_mesh(tp=args.tp)
+        target_params = shard_params(target_params, mesh)
+
+    # --- Prompts ----------------------------------------------------------
+    if args.prompts is not None:
+        if args.prompts.startswith("synthetic:") or args.prompts.endswith(".json"):
+            prompts_tokens = load_prompts(args.prompts, target_cfg.vocab_size, args.seed)
+        else:
+            with open(args.prompts) as f:
+                texts = [l.rstrip("\n") for l in f if l.strip()]
+            assert tokenizer is not None, "text prompts need --tokenizer"
+            prompts_tokens = [
+                np.asarray(tokenizer(format_inst(t))["input_ids"], np.int32)
+                for t in texts
+            ]
+    else:
+        path = ensure_mt_bench(args.data_root)
+        texts = load_mt_bench_prompts(path)
+        assert tokenizer is not None, "MT-Bench prompts need --tokenizer (or pass --prompts)"
+        prompts_tokens = [
+            np.asarray(tokenizer(format_inst(t))["input_ids"], np.int32)
+            for t in texts
+        ]
+    if args.limit:
+        prompts_tokens = prompts_tokens[: args.limit]
+
+    # --- Engine -----------------------------------------------------------
+    if args.mode == "baseline":
+        engine = _BaselineStream(ARBaseline(
+            target_params, target_cfg, max_length=args.M, temperature=args.T,
+            top_p=args.P, greedy=(args.algorithm == "greedy"),
+        ))
+    else:
+        draft_params, draft_cfg = build_params(
+            args.draft, "auto", args.dtype, args.seed + 1
+        )
+        gm = load_growmap(args.growmap)
+        engine = SpecEngine(
+            draft_params, draft_cfg, target_params, target_cfg, gm,
+            algorithm=args.algorithm, max_length=args.M,
+            temperature=args.T, top_p=args.P, mesh=mesh,
+        )
+
+    stats = run_prompts(engine, prompts_tokens, args, tokenizer)
+    print(f"\ntotal time: {stats['total_time_s']:.3f}s")
+    if stats["tokens"]:
+        print(f"tokens generated: {stats['tokens']}")
+        print(f"per-token latency: {stats['total_time_s'] / stats['tokens'] * 1e3:.2f} ms")
+    if stats["large_model_steps"]:
+        print(f"accepted tokens per target step: "
+              f"{stats['tokens'] / stats['large_model_steps']:.3f}")
+
+
+if __name__ == "__main__":
+    main()

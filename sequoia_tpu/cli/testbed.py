@@ -23,6 +23,13 @@ import numpy as np
 
 
 def build_params(name_or_path: str, weights: str, dtype_str: str, seed: int):
+    """Resolve `(params, cfg)` from a preset name or HF checkpoint dir.
+
+    `weights`: 'random' (latency-faithful random init), 'auto' (load real
+    weights when `name_or_path` is a checkpoint dir, else random), or a path
+    to a checkpoint dir / torch state-dict file."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -30,12 +37,20 @@ def build_params(name_or_path: str, weights: str, dtype_str: str, seed: int):
     from ..core.config import PRESETS, LlamaConfig, get_config
 
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[dtype_str]
+    is_ckpt_dir = os.path.isdir(name_or_path) and os.path.exists(
+        os.path.join(name_or_path, "config.json")
+    )
     if name_or_path in PRESETS:
         cfg = get_config(name_or_path)
     else:
+        assert is_ckpt_dir, f"{name_or_path!r} is neither a preset nor a checkpoint dir"
         cfg = LlamaConfig.from_json(f"{name_or_path}/config.json")
-    if weights == "random":
+    if weights == "random" or (weights == "auto" and not is_ckpt_dir):
         params = pinit.random_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    elif weights == "auto":
+        params, cfg = pinit.load_hf_checkpoint(name_or_path, dtype=dtype)
+    elif os.path.isdir(weights):
+        params, cfg = pinit.load_hf_checkpoint(weights, dtype=dtype)
     else:
         import torch
 

@@ -144,6 +144,16 @@ class ARBaseline:
         n = plen + int(produced)
         return np.asarray(jax.device_get(state.tokens))[:n]
 
+    def stream(self, prompt: np.ndarray, max_new_tokens: int = 128, seed: int = 0):
+        """Yield one committed token (np i32 scalar array) per decode step."""
+        state, plen = self._prefill_state(prompt, seed)
+        assert plen + max_new_tokens <= self.max_length
+        for _ in range(max_new_tokens):
+            state, tok = self._step(self.params, state)
+            yield np.asarray(jax.device_get(tok)).reshape(1)
+            if bool(state.terminal):
+                break
+
     def generate(self, prompt: np.ndarray, max_new_tokens: int = 128, seed: int = 0) -> np.ndarray:
         state, plen = self._prefill_state(prompt, seed)
         assert plen + max_new_tokens <= self.max_length

@@ -431,6 +431,40 @@ class SpecEngine:
         tokens = np.asarray(jax.device_get(state.tokens))
         return tokens[: plen + self.num_decoding_steps]
 
+    def stream(
+        self,
+        prompt: np.ndarray,
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ):
+        """Yield the newly committed tokens (np i32 array) after each
+        speculative iteration — the chat runners' streaming display
+        (`tests/run_sequoia.py:140-145` re-decodes the growing sequence each
+        iteration; we yield the per-iteration delta instead)."""
+        state = self.prefill(prompt, seed=seed)
+        plen = int(len(np.asarray(prompt).reshape(-1)))
+        gtl = plen
+        produced = 0
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+        while (
+            produced < max_new_tokens
+            and gtl - 1 + self.tree_size <= self.max_length
+            and gtl + self.max_depth + 1 <= self.max_length
+        ):
+            state, stats = self._iterate(self.draft_params, self.target_params, state)
+            emitted = int(stats.emitted)
+            new = np.asarray(jax.device_get(
+                jax.lax.dynamic_slice(state.tokens, (gtl,), (self.max_depth + 1,))
+            ))[:emitted]
+            produced += emitted
+            gtl += emitted
+            self.num_decoding_steps += emitted
+            self.num_large_model_steps += 1
+            yield new
+            if bool(stats.terminal):
+                break
+
     # ------------------------------------------------------------------
     # Host-stepped generation loop (per-iteration stats / debugging)
     # ------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Chat runner: streaming API invariants and CLI end-to-end (offline,
+token-id mode) — covers the reference chat runners' flow
+(`tests/run_sequoia.py`, `tests/greedy_run.py`, `tests/specinfer_run.py`)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sequoia_tpu.core.config import get_config
+from sequoia_tpu.core.init import random_params
+from sequoia_tpu.engine.baseline import ARBaseline
+from sequoia_tpu.engine.engine import SpecEngine
+from sequoia_tpu.trees.growmap import uniform_tree
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = get_config("test-tiny")
+    draft = random_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    target = random_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    return cfg, draft, target
+
+
+def test_stream_matches_generate(tiny):
+    cfg, draft, target = tiny
+    gm = uniform_tree(3, 2)
+    prompt = np.array([11, 23, 5, 99, 42, 7])
+    eng = SpecEngine(draft, cfg, target, cfg, gm, algorithm="greedy",
+                     max_length=128, prefill_chunk=16)
+    full = eng.generate(prompt, max_new_tokens=24, seed=0)
+    eng2 = SpecEngine(draft, cfg, target, cfg, gm, algorithm="greedy",
+                      max_length=128, prefill_chunk=16)
+    streamed = list(eng2.stream(prompt, max_new_tokens=24, seed=0))
+    got = np.concatenate([prompt] + streamed)
+    np.testing.assert_array_equal(full, got)
+    # every chunk within tree-depth bound, at least 1 token (accept>=0 + bonus)
+    assert all(1 <= len(c) <= eng2.max_depth + 1 for c in streamed)
+
+
+def test_baseline_stream_matches_generate(tiny):
+    cfg, _, target = tiny
+    prompt = np.array([3, 1, 4, 1, 5])
+    ar = ARBaseline(target, cfg, max_length=64, greedy=True, prefill_chunk=16)
+    full = ar.generate(prompt, max_new_tokens=16)
+    streamed = np.concatenate([prompt] + list(ar.stream(prompt, max_new_tokens=16)))
+    np.testing.assert_array_equal(full, streamed)
+
+
+def test_chat_cli_spec_and_baseline(capsys):
+    from sequoia_tpu.cli.chat import main
+
+    for mode in ["spec", "baseline"]:
+        main([
+            "--draft", "test-tiny", "--target", "test-tiny", "--mode", mode,
+            "--algorithm", "greedy", "--growmap", "chain:4", "--M", "64",
+            "--gen", "8", "--dtype", "f32", "--prompts", "synthetic:2,10",
+            "--limit", "1",
+        ])
+        out = capsys.readouterr().out
+        assert "total time" in out
+        assert "=== prompt 0" in out
+
+
+def test_chat_cli_quantized(capsys):
+    from sequoia_tpu.cli.chat import main
+
+    main([
+        "--draft", "test-tiny", "--target", "test-tiny", "--mode", "spec",
+        "--algorithm", "sequoia", "--growmap", "tree:2x2", "--M", "64",
+        "--gen", "8", "--dtype", "f32", "--prompts", "synthetic:1,10",
+        "--quant", "int8",
+    ])
+    out = capsys.readouterr().out
+    assert "per-token latency" in out

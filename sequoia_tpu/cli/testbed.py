@@ -98,7 +98,7 @@ def main(argv=None) -> None:
                     help="path | chain:N | tree:DxB | planned")
     ap.add_argument("--algorithm", default="sequoia",
                     choices=["sequoia", "specinfer", "greedy", "greedys"])
-    ap.add_argument("--mode", default="spec", choices=["spec", "baseline"])
+    ap.add_argument("--mode", default="spec", choices=["spec", "baseline", "benchmark"])
     ap.add_argument("--T", type=float, default=0.6)
     ap.add_argument("--P", type=float, default=0.9)
     ap.add_argument("--M", type=int, default=256, help="max buffer length")
@@ -143,13 +143,34 @@ def main(argv=None) -> None:
             algorithm=args.algorithm, max_length=args.M,
             temperature=args.T, top_p=args.P,
         )
-        eng.generate_fast(prompts[0], max_new_tokens=4)  # compile
-        for i, prompt in enumerate(prompts):
-            t0 = time.perf_counter()
-            eng.generate_fast(prompt, max_new_tokens=args.gen, seed=args.seed + i)
-            t_total += time.perf_counter() - t0
-            total_tokens += eng.num_decoding_steps
-            total_steps += eng.num_large_model_steps
+        phase_totals = {}
+        if args.mode == "benchmark":
+            # Phase-timed mode (tests/testbed.py:144-219): per-phase wall
+            # clock via the separately-jitted iteration.
+            eng.generate_benchmark(prompts[0], max_new_tokens=4)  # compile
+            for i, prompt in enumerate(prompts):
+                t0 = time.perf_counter()
+                _, totals = eng.generate_benchmark(
+                    prompt, max_new_tokens=args.gen, seed=args.seed + i
+                )
+                t_total += time.perf_counter() - t0
+                for k, v in totals.items():
+                    phase_totals[k] = phase_totals.get(k, 0.0) + v
+                total_tokens += eng.num_decoding_steps
+                total_steps += eng.num_large_model_steps
+        else:
+            eng.generate_fast(prompts[0], max_new_tokens=4)  # compile
+            for i, prompt in enumerate(prompts):
+                t0 = time.perf_counter()
+                eng.generate_fast(prompt, max_new_tokens=args.gen, seed=args.seed + i)
+                t_total += time.perf_counter() - t0
+                total_tokens += eng.num_decoding_steps
+                total_steps += eng.num_large_model_steps
+        if phase_totals and total_steps:
+            # Reference per-phase report (tests/testbed.py:216-218).
+            print("phase breakdown (ms per target step):")
+            for k, v in phase_totals.items():
+                print(f"  {k}: {v / total_steps * 1e3:.2f}")
 
     # Reference metric block (tests/testbed.py:94).
     print(f"total time: {t_total:.3f}s")

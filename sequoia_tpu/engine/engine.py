@@ -140,6 +140,12 @@ class SpecEngine:
         self._iterate = jax.jit(self._iterate_impl, donate_argnums=(2,))
         self._prefill_chunk_fn = jax.jit(self._prefill_chunk_impl, donate_argnums=(2,))
         self._generate_loop = jax.jit(self._generate_loop_impl, donate_argnums=(2,))
+        # Phased path (benchmark mode): same impl pieces, jitted separately
+        # so each phase can be timed with block_until_ready. No donation —
+        # phases share the incoming state.
+        self._grow_fn = jax.jit(self._grow_impl)
+        self._target_fn = jax.jit(self._target_impl)
+        self._finalize_fn = jax.jit(self._finalize_impl)
         # Counters (reference metric: tests/testbed.py:94).
         self.num_decoding_steps = 0
         self.num_large_model_steps = 0
@@ -241,19 +247,14 @@ class SpecEngine:
             samples = sample_argmax(logits_roots, max_k)
         return samples.reshape(-1)[self._level_gather[level]].astype(jnp.int32)
 
-    def _iterate_impl(
-        self,
-        draft_params: LlamaParams,
-        target_params: LlamaParams,
-        state: DecodeState,
-    ) -> Tuple[DecodeState, StepStats]:
+    def _grow_impl(self, draft_params, state: DecodeState):
+        """Draft tree growth, level by level (static unroll). Returns
+        `(tokens_tree, draft_logits, tokens_buf, draft_kv, key)`."""
         gm_size = self.tree_size
-        gtl = state.gtl
-        ts = gtl - 1  # slot of tree node 0
+        ts = state.gtl - 1  # slot of tree node 0
         key = state.key
         M = self.max_length
 
-        # --- Draft tree growth, level by level (static unroll) ----------
         draft_logits = jnp.zeros((gm_size, self.vocab), jnp.float32)
         draft_logits = draft_logits.at[0].set(state.root_draft_logits)
         tokens_tree = jnp.zeros((gm_size,), jnp.int32)
@@ -281,14 +282,50 @@ class SpecEngine:
             draft_logits = jax.lax.dynamic_update_slice(
                 draft_logits, lvl_logits.astype(jnp.float32), (start, 0)
             )
+        return tokens_tree, draft_logits, tokens_buf, draft_kv, key
 
-        # --- Target verify forward over the whole tree ------------------
+    def _target_impl(self, target_params, state: DecodeState, tokens_tree):
+        """Target verify forward over the whole tree."""
+        ts = state.gtl - 1
         positions = ts + self._depth
-        mask = masks.tree_mask_rows(self._anc, ts, M)
-        target_logits, target_kv = forward(
+        mask = masks.tree_mask_rows(self._anc, ts, self.max_length)
+        return forward(
             target_params, self.target_cfg, tokens_tree, positions,
             state.target_kv, ts, mask,
         )
+
+    def _iterate_impl(
+        self,
+        draft_params: LlamaParams,
+        target_params: LlamaParams,
+        state: DecodeState,
+    ) -> Tuple[DecodeState, StepStats]:
+        tokens_tree, draft_logits, tokens_buf, draft_kv, key = self._grow_impl(
+            draft_params, state
+        )
+        target_logits, target_kv = self._target_impl(target_params, state, tokens_tree)
+        return self._finalize_impl(
+            draft_params, state, tokens_tree, draft_logits, tokens_buf,
+            draft_kv, key, target_logits, target_kv,
+        )
+
+    def _finalize_impl(
+        self,
+        draft_params,
+        state: DecodeState,
+        tokens_tree,
+        draft_logits,
+        tokens_buf,
+        draft_kv,
+        key,
+        target_logits,
+        target_kv,
+    ) -> Tuple[DecodeState, StepStats]:
+        """Accept walk + commit + KV compaction + bonus re-draft."""
+        gm_size = self.tree_size
+        gtl = state.gtl
+        ts = gtl - 1
+        M = self.max_length
 
         # --- Accept walk (device-side) ----------------------------------
         key, k_r, k_bonus, k_tok = jax.random.split(key, 4)
@@ -430,6 +467,73 @@ class SpecEngine:
         self.num_large_model_steps = int(steps)
         tokens = np.asarray(jax.device_get(state.tokens))
         return tokens[: plen + self.num_decoding_steps]
+
+    def iterate_phased(self, state: DecodeState):
+        """One speculative iteration split into separately-jitted phases with
+        host-side timers — the reference's `benchmark=True` plumbing
+        (`Tree/SpecTree.py:99-131,167-241`, reported at
+        `tests/testbed.py:215-218`). Phase mapping: `draft_run` = tree growth
+        incl. speculation sampling (reference "draft run" + "sample"),
+        `target_run` = the verify forward, `accept_kv` = accept walk + commit
+        + KV compaction + bonus re-draft (reference "accept loop" +
+        "kv select"). Returns `(state, stats, {phase: seconds})`."""
+        import time
+
+        times = {}
+        t0 = time.perf_counter()
+        grow_out = self._grow_fn(self.draft_params, state)
+        jax.block_until_ready(grow_out)
+        times["draft_run"] = time.perf_counter() - t0
+        tokens_tree, draft_logits, tokens_buf, draft_kv, key = grow_out
+
+        t0 = time.perf_counter()
+        target_logits, target_kv = self._target_fn(
+            self.target_params, state, tokens_tree
+        )
+        jax.block_until_ready(target_logits)
+        times["target_run"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        new_state, stats = self._finalize_fn(
+            self.draft_params, state, tokens_tree, draft_logits, tokens_buf,
+            draft_kv, key, target_logits, target_kv,
+        )
+        jax.block_until_ready(new_state)
+        times["accept_kv"] = time.perf_counter() - t0
+        return new_state, stats, times
+
+    def generate_benchmark(
+        self,
+        prompt: np.ndarray,
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ):
+        """Host-stepped generation with per-phase timing; returns
+        `(tokens, {phase: total_seconds})`."""
+        state = self.prefill(prompt, seed=seed)
+        plen = int(len(np.asarray(prompt).reshape(-1)))
+        gtl = plen
+        produced = 0
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+        totals = {"draft_run": 0.0, "target_run": 0.0, "accept_kv": 0.0}
+        while (
+            produced < max_new_tokens
+            and gtl - 1 + self.tree_size <= self.max_length
+            and gtl + self.max_depth + 1 <= self.max_length
+        ):
+            state, stats, times = self.iterate_phased(state)
+            for k, v in times.items():
+                totals[k] += v
+            emitted = int(stats.emitted)
+            produced += emitted
+            gtl += emitted
+            self.num_decoding_steps += emitted
+            self.num_large_model_steps += 1
+            if bool(stats.terminal):
+                break
+        tokens = np.asarray(jax.device_get(state.tokens))
+        return tokens[:gtl], totals
 
     def stream(
         self,

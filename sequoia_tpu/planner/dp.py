@@ -34,8 +34,9 @@ NEG = -np.inf
 
 @dataclasses.dataclass
 class PlannerTable:
-    T: np.ndarray          # [budget+1, depth+1, branch+1]
-    branch_map: Dict[Tuple[int, int, int], List[Tuple[int, int, int]]]
+    T: np.ndarray  # [budget+1, depth+1, branch+1]
+    Y: np.ndarray  # same shape, i32: split backpointer (nodes kept by the
+    #                first b-1 children's subtree); -1 = infeasible
     p: np.ndarray
 
     @property
@@ -43,18 +44,68 @@ class PlannerTable:
         """max over root branch counts: [budget+1, depth+1]."""
         return self.T.max(axis=2)
 
+    @property
+    def Targ(self) -> np.ndarray:
+        if not hasattr(self, "_targ"):
+            object.__setattr__(self, "_targ", self.T.argmax(axis=2))
+        return self._targ
 
-def fill_table(p: np.ndarray, max_budget: int, max_depth: int) -> PlannerTable:
+    def children(self, m: int, l: int, b: int) -> List[Tuple[int, int, int]]:
+        """Child states `(nodes, depth, branches)` of an optimal (m, l, b)
+        tree, in sibling-rank order (replaces the reference's explicit
+        `branch_map` lists, `tree_search.py:33-50`, with backpointer
+        reconstruction)."""
+        if b == 0:
+            return []
+        y = int(self.Y[m, l, b])
+        assert y >= 1, f"infeasible state ({m},{l},{b})"
+        rest = (m - y, l - 1, int(self.Targ[m - y, l - 1]))
+        return self.children(y, l, b - 1) + [rest]
+
+
+def _fill_table_native(p: np.ndarray, max_budget: int, max_depth: int):
+    from ..native import planner_dp_lib
+
+    lib = planner_dp_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    W = len(p) - 1
+    T = np.empty((max_budget + 1, max_depth + 1, W + 1), np.float64)
+    Y = np.empty((max_budget + 1, max_depth + 1, W + 1), np.int32)
+    pc = np.ascontiguousarray(p, np.float64)
+    rc = lib.sequoia_fill_table(
+        pc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        W, max_budget, max_depth,
+        T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        Y.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    assert rc == 0
+    return PlannerTable(T=T, Y=Y, p=p)
+
+
+def fill_table(
+    p: np.ndarray, max_budget: int, max_depth: int, backend: str = "auto"
+) -> PlannerTable:
     """p[0] must be 0; p[b] = acceptance probability of the rank-b child
-    (the acceptance-rate vector artifact, SURVEY.md §2.2)."""
+    (the acceptance-rate vector artifact, SURVEY.md §2.2).
+
+    `backend`: 'native' (C++ via ctypes, ~100x the numpy path at offloading
+    budgets), 'numpy', or 'auto' (native when a toolchain is available)."""
     p = np.asarray(p, np.float64)
     assert p[0] == 0.0
+    if backend in ("auto", "native"):
+        table = _fill_table_native(p, max_budget, max_depth)
+        if table is not None:
+            return table
+        if backend == "native":
+            raise RuntimeError("native planner DP unavailable (no g++?)")
     max_branch = len(p) - 1
     T = np.full((max_budget + 1, max_depth + 1, max_branch + 1), NEG)
-    branch_map: Dict[Tuple[int, int, int], List[Tuple[int, int, int]]] = {}
+    Y = np.full((max_budget + 1, max_depth + 1, max_branch + 1), -1, np.int32)
     for l in range(1, max_depth + 1):
         T[1][l][0] = 1.0
-        branch_map[(1, l, 0)] = []
 
     Tmax = T.max(axis=2)  # maintained incrementally: Tmax[m][l]
     Targ = T.argmax(axis=2)
@@ -64,7 +115,7 @@ def fill_table(p: np.ndarray, max_budget: int, max_depth: int) -> PlannerTable:
             v1 = 1.0 + p[1] * Tmax[m - 1][l - 1]
             T[m][l][1] = NEG if np.isnan(v1) else v1
             if T[m][l][1] > 0:
-                branch_map[(m, l, 1)] = [(m - 1, l - 1, int(Targ[m - 1][l - 1]))]
+                Y[m][l][1] = 1
             for b in range(2, max_branch + 1):
                 # candidates over split y in [1, m). `0 * -inf = nan` occurs
                 # when p[b] == 0 and the subtree is infeasible; treat as
@@ -77,13 +128,11 @@ def fill_table(p: np.ndarray, max_budget: int, max_depth: int) -> PlannerTable:
                 max_value = vals[yi]
                 T[m][l][b] = max_value
                 if max_value >= 0:
-                    y = int(ys[yi])
-                    child = (m - y, l - 1, int(Targ[m - y][l - 1]))
-                    branch_map[(m, l, b)] = branch_map[(y, l, b - 1)] + [child]
+                    Y[m][l][b] = int(ys[yi])
             mx = T[m][l].max()
             Tmax[m][l] = mx
             Targ[m][l] = int(T[m][l].argmax())
-    return PlannerTable(T=T, branch_map=branch_map, p=p)
+    return PlannerTable(T=T, Y=Y, p=p)
 
 
 def choose_tree(
@@ -134,7 +183,7 @@ def materialize(table: PlannerTable, budget: int, depth: int) -> GrowMap:
             successors.extend([[] for _ in kids])
             parents.extend([i] * z)
             depths.extend([depths[i] + 1] * z)
-            child_states = table.branch_map[(x, y, z)]
+            child_states = table.children(x, y, z)
             assert len(child_states) == z
             states.extend(child_states)
             n += z
@@ -171,13 +220,14 @@ def plan(
     draft_time: float,
     max_depth: int = 10,
     max_budget: Optional[int] = None,
+    backend: str = "auto",
 ) -> Tuple[GrowMap, dict]:
     """End-to-end planning: fill table, choose serving tree, materialize.
     Returns (growmap, info dict with dec_time / speedup estimate)."""
     p = np.asarray(acceptance_vector, np.float64)
     if max_budget is None:
         max_budget = int(max(valid_budget))
-    table = fill_table(p, max_budget, max_depth)
+    table = fill_table(p, max_budget, max_depth, backend=backend)
     budget, depth, dec_time, exp_acc = choose_tree(
         table, valid_budget, target_time, draft_time
     )

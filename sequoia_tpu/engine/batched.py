@@ -1,0 +1,166 @@
+"""Batched speculative decoding + continuous batching.
+
+New capability over the reference, which is strictly single-request
+(`README.md:80-84` lists batching among its open TODOs; every tree class
+asserts batch size 1). The TPU-idiomatic construction is `jax.vmap` over the
+*entire* fused speculative iteration (`SpecEngine._iterate_impl`): every
+request in the batch grows its own tree, verifies, accept-walks, and
+compacts its own KV — one compiled program, batch as a leading axis on every
+state leaf, MXU utilization scaling with batch size.
+
+Requests terminate at different times; a host-side scheduler (`serve`)
+refills finished slots from a prompt queue (continuous batching). Slot
+refill reuses the single-request prefill then scatters the fresh state into
+the batch at the slot index — no recompilation, no global barrier beyond the
+iteration itself.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .engine import DecodeState, SpecEngine
+
+
+class BatchedSpecEngine(SpecEngine):
+    """`SpecEngine` with a leading batch axis over independent requests."""
+
+    def __init__(self, *args, batch_size: int = 4, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.batch_size = batch_size
+        self._biterate = jax.jit(
+            jax.vmap(self._iterate_impl, in_axes=(None, None, 0)),
+            donate_argnums=(2,),
+        )
+        self._insert_slot_fn = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
+
+    @staticmethod
+    def _insert_slot_impl(bstate: DecodeState, sstate: DecodeState, slot) -> DecodeState:
+        return jax.tree.map(lambda b, s: b.at[slot].set(s), bstate, sstate)
+
+    def prefill_batch(self, prompts: Sequence[np.ndarray], seed: int = 0) -> DecodeState:
+        """Prefill `batch_size` prompts into one batched state. Each slot is
+        prefilled by the (already-jitted) single-request path and stacked —
+        prefill happens once per request; the steady-state cost is the
+        batched iteration."""
+        assert len(prompts) == self.batch_size
+        states = [self.prefill(p, seed=seed + i) for i, p in enumerate(prompts)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    def insert_slot(self, bstate: DecodeState, prompt: np.ndarray, slot: int,
+                    seed: int = 0) -> DecodeState:
+        """Continuous batching admit: replace `slot` with a fresh request."""
+        sstate = self.prefill(prompt, seed=seed)
+        return self._insert_slot_fn(bstate, sstate, jnp.asarray(slot, jnp.int32))
+
+    def generate_batch(
+        self,
+        prompts: Sequence[np.ndarray],
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Decode a fixed batch to completion; returns one committed
+        sequence (prompt + generated) per slot."""
+        B = self.batch_size
+        state = self.prefill_batch(prompts, seed=seed)
+        plens = [int(len(np.asarray(p).reshape(-1))) for p in prompts]
+        gtl = list(plens)
+        produced = [0] * B
+        done = [False] * B
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+        while not all(done):
+            state, stats = self._biterate(self.draft_params, self.target_params, state)
+            emitted = np.asarray(stats.emitted)
+            terminal = np.asarray(stats.terminal)
+            self.num_large_model_steps += 1
+            for b in range(B):
+                if done[b]:
+                    continue
+                produced[b] += int(emitted[b])
+                gtl[b] += int(emitted[b])
+                self.num_decoding_steps += int(emitted[b])
+                if (
+                    bool(terminal[b])
+                    or produced[b] >= max_new_tokens
+                    or gtl[b] - 1 + self.tree_size > self.max_length
+                    or gtl[b] + self.max_depth + 1 > self.max_length
+                ):
+                    done[b] = True
+        tokens = np.asarray(jax.device_get(state.tokens))
+        # Trim overshoot: slots kept iterating after hitting their budget
+        # while stragglers finished; only the first max_new_tokens count.
+        return [
+            tokens[b, : plens[b] + min(produced[b], max_new_tokens)] for b in range(B)
+        ]
+
+    def serve(
+        self,
+        prompts: Iterable[np.ndarray],
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Continuous batching over an arbitrary prompt stream: finished
+        slots are immediately refilled from the queue. Returns outputs in
+        input order."""
+        queue = list(enumerate(np.asarray(p, np.int32).reshape(-1) for p in prompts))
+        n_total = len(queue)
+        B = self.batch_size
+        results: List[Optional[np.ndarray]] = [None] * n_total
+
+        # Initial fill; pad with empty slots if fewer prompts than slots.
+        slot_req = [-1] * B        # request id per slot, -1 = idle
+        slot_plen = [0] * B
+        slot_prod = [0] * B
+        init_states = []
+        for s in range(B):
+            if queue:
+                rid, prompt = queue.pop(0)
+                slot_req[s] = rid
+                slot_plen[s] = len(prompt)
+                init_states.append(self.prefill(prompt, seed=seed + rid))
+            else:
+                init_states.append(self.prefill(np.zeros(1, np.int32), seed=seed))
+        state = jax.tree.map(lambda *xs: jnp.stack(xs), *init_states)
+
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+        while any(r >= 0 for r in slot_req):
+            state, stats = self._biterate(self.draft_params, self.target_params, state)
+            emitted = np.asarray(stats.emitted)
+            terminal = np.asarray(stats.terminal)
+            self.num_large_model_steps += 1
+            tokens_host = None
+            for s in range(B):
+                rid = slot_req[s]
+                if rid < 0:
+                    continue
+                slot_prod[s] += int(emitted[s])
+                self.num_decoding_steps += int(emitted[s])
+                gtl = slot_plen[s] + slot_prod[s]
+                finished = (
+                    bool(terminal[s])
+                    or slot_prod[s] >= max_new_tokens
+                    or gtl - 1 + self.tree_size > self.max_length
+                    or gtl + self.max_depth + 1 > self.max_length
+                )
+                if not finished:
+                    continue
+                if tokens_host is None:
+                    tokens_host = np.asarray(jax.device_get(state.tokens))
+                prod = min(slot_prod[s], max_new_tokens)
+                results[rid] = tokens_host[s, : slot_plen[s] + prod]
+                if queue:  # admit the next request into this slot
+                    nrid, nprompt = queue.pop(0)
+                    slot_req[s] = nrid
+                    slot_plen[s] = len(nprompt)
+                    slot_prod[s] = 0
+                    state = self.insert_slot(state, nprompt, s, seed=seed + nrid)
+                else:
+                    slot_req[s] = -1
+        assert all(r is not None for r in results)
+        return results

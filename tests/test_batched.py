@@ -1,0 +1,95 @@
+"""Batched engine: per-slot outputs must be token-identical to the
+single-request engine (greedy), and continuous batching must drain an
+arbitrary prompt queue in input order."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sequoia_tpu.core.config import get_config
+from sequoia_tpu.core.init import random_params
+from sequoia_tpu.engine.batched import BatchedSpecEngine
+from sequoia_tpu.engine.engine import SpecEngine
+from sequoia_tpu.trees.growmap import uniform_tree
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = get_config("test-tiny")
+    draft = random_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    target = random_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    return cfg, draft, target
+
+
+PROMPTS = [
+    np.array([11, 23, 5, 99, 42, 7]),
+    np.array([3, 1, 4, 1, 5, 9, 2, 6]),
+    np.array([100, 50]),
+    np.array([7, 7, 7, 7, 7, 7, 7]),
+    np.array([42]),
+    np.array([88, 13, 21, 34]),
+]
+
+
+def test_batch_matches_single_greedy(models):
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    kw = dict(algorithm="greedy", max_length=96, prefill_chunk=16)
+    prompts = PROMPTS[:3]
+
+    single = SpecEngine(draft, cfg, target, cfg, gm, **kw)
+    expected = [
+        single.generate(p, max_new_tokens=20, seed=i) for i, p in enumerate(prompts)
+    ]
+    batched = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=3, **kw)
+    got = batched.generate_batch(prompts, max_new_tokens=20, seed=0)
+    for e, g in zip(expected, got):
+        n = min(len(e), len(g))
+        np.testing.assert_array_equal(e[:n], g[:n])
+
+
+def test_batch_stochastic_runs(models):
+    cfg, draft, target = models
+    gm = uniform_tree(2, 3)
+    eng = BatchedSpecEngine(
+        draft, cfg, target, cfg, gm, batch_size=2, algorithm="sequoia",
+        max_length=96, temperature=0.8, top_p=0.9, prefill_chunk=16,
+    )
+    outs = eng.generate_batch(PROMPTS[:2], max_new_tokens=16, seed=0)
+    assert all(len(o) > len(p) for o, p in zip(outs, PROMPTS[:2]))
+    assert eng.num_large_model_steps > 0
+    # Batched throughput accounting: tokens summed over slots.
+    assert eng.num_decoding_steps >= 2
+
+
+def test_continuous_batching_drains_queue(models):
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    eng = BatchedSpecEngine(
+        draft, cfg, target, cfg, gm, batch_size=2, algorithm="greedy",
+        max_length=96, prefill_chunk=16,
+    )
+    single = SpecEngine(draft, cfg, target, cfg, gm, algorithm="greedy",
+                        max_length=96, prefill_chunk=16)
+    results = eng.serve(PROMPTS, max_new_tokens=12, seed=0)
+    assert len(results) == len(PROMPTS)
+    for i, (p, out) in enumerate(zip(PROMPTS, results)):
+        np.testing.assert_array_equal(out[: len(p)], p)
+        exp = single.generate(p, max_new_tokens=12, seed=i)
+        n = min(len(exp), len(out))
+        np.testing.assert_array_equal(exp[:n], out[:n])
+
+
+def test_serve_fewer_prompts_than_slots(models):
+    cfg, draft, target = models
+    gm = uniform_tree(2, 2)
+    eng = BatchedSpecEngine(
+        draft, cfg, target, cfg, gm, batch_size=4, algorithm="greedy",
+        max_length=64, prefill_chunk=16,
+    )
+    results = eng.serve(PROMPTS[:2], max_new_tokens=8, seed=0)
+    assert len(results) == 2
+    for p, out in zip(PROMPTS[:2], results):
+        assert len(out) > len(p)

@@ -49,7 +49,14 @@ class BatchedSpecEngine(SpecEngine):
         batched iteration."""
         assert len(prompts) == self.batch_size
         states = [self.prefill(p, seed=seed + i) for i, p in enumerate(prompts)]
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+        return self._shard(jax.tree.map(lambda *xs: jnp.stack(xs), *states))
+
+    def _shard(self, bstate: DecodeState) -> DecodeState:
+        if self.mesh is not None and "dp" in self.mesh.shape and self.mesh.shape["dp"] > 1:
+            from ..parallel.sharding import shard_batched_state
+
+            return shard_batched_state(bstate, self.mesh)
+        return bstate
 
     def insert_slot(self, bstate: DecodeState, prompt: np.ndarray, slot: int,
                     seed: int = 0) -> DecodeState:
@@ -125,7 +132,7 @@ class BatchedSpecEngine(SpecEngine):
                 init_states.append(self.prefill(prompt, seed=seed + rid))
             else:
                 init_states.append(self.prefill(np.zeros(1, np.int32), seed=seed))
-        state = jax.tree.map(lambda *xs: jnp.stack(xs), *init_states)
+        state = self._shard(jax.tree.map(lambda *xs: jnp.stack(xs), *init_states))
 
         self.num_decoding_steps = 0
         self.num_large_model_steps = 0

@@ -102,3 +102,22 @@ def shard_kv(kv: KVCache, mesh: Mesh) -> KVCache:
         k=jax.device_put(kv.k, NamedSharding(mesh, specs.k)),
         v=jax.device_put(kv.v, NamedSharding(mesh, specs.v)),
     )
+
+
+def shard_batched_state(state, mesh: Mesh):
+    """Shard a batched `DecodeState` (leading batch axis on every leaf) over
+    the `dp` mesh axis; KV head axes additionally shard over `tp`. With the
+    batch data-parallel and weights tensor-parallel, each vmapped request's
+    tree iteration runs on one dp slice with its TP collectives riding ICI —
+    the standard 2-D serving layout the reference never had (SURVEY.md §2.3)."""
+
+    def spec_for(leaf):
+        if leaf.ndim == 0:
+            return P()
+        if leaf.ndim >= 4:  # batched KV: [B, L, M, Hkv, D]
+            return P("dp", None, None, "tp", None)
+        return P("dp", *([None] * (leaf.ndim - 1)))
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), state
+    )

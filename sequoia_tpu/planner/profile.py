@@ -42,27 +42,44 @@ def time_forward_widths(
     max_length: int = 256,
     kv_len: int = 128,
     dtype=jnp.bfloat16,
-    warmup: int = 3,
-    reps: int = 20,
+    warmup: int = 1,
+    reps: int = 50,
 ) -> List[float]:
     """Wall-clock seconds per forward at each query width (decode position
     `kv_len`), the planner's `target_time` curve. One compile per width
-    (the analog of the reference's per-decode-length CUDA graph list)."""
-    fwd = jax.jit(partial(forward, cfg=cfg), donate_argnames=("kv",))
+    (the analog of the reference's per-decode-length CUDA graph list).
+
+    The `reps` forwards run INSIDE one jit as a `lax.fori_loop`, mirroring
+    how the engine actually executes (its decode loop is fully on-device) —
+    timing individual dispatches would fold host/tunnel round-trip overhead
+    (~2 ms on remote-TPU setups) into every step and bias the planner toward
+    too-shallow trees (small-draft costs get overestimated ~10x)."""
+
+    def reps_loop(params, tokens, pos, kv, mask):
+        def body(i, carry):
+            kv, acc = carry
+            # Data-depend on i so XLA cannot hoist the loop-invariant body.
+            logits, kv = forward(
+                params, cfg, tokens + (i % 2), pos, kv, kv_len, mask
+            )
+            return (kv, acc + logits[0, 0])
+
+        kv, acc = jax.lax.fori_loop(0, reps, body, (kv, jnp.asarray(0.0, jnp.float32)))
+        return acc
+
+    timed = jax.jit(reps_loop, donate_argnames=("kv",))
     out = []
-    kv = KVCache.init(cfg, max_length, dtype)
     for w in widths:
         tokens = jnp.zeros((w,), jnp.int32)
         pos = kv_len + jnp.arange(w, dtype=jnp.int32)
         mask = masks.causal_mask(w, max_length, kv_len)
-        args = dict(tokens=tokens, position_ids=pos, cache_offset=kv_len, attn_mask=mask)
         for _ in range(warmup):
-            logits, kv = fwd(params, kv=kv, **args)
-        jax.block_until_ready(logits)
+            kv = KVCache.init(cfg, max_length, dtype)
+            jax.block_until_ready(timed(params, tokens, pos, kv, mask))
+        kv = KVCache.init(cfg, max_length, dtype)
+        jax.block_until_ready(tokens)
         t0 = time.perf_counter()
-        for _ in range(reps):
-            logits, kv = fwd(params, kv=kv, **args)
-        jax.block_until_ready(logits)
+        jax.block_until_ready(timed(params, tokens, pos, kv, mask))
         out.append((time.perf_counter() - t0) / reps)
     return out
 

@@ -59,13 +59,29 @@ def build_params(name_or_path: str, weights: str, dtype_str: str, seed: int):
     return params, cfg
 
 
-def load_prompts(spec: str, vocab: int, seed: int):
+def load_prompts(spec: str, vocab: int, seed: int, prefill_len: int = 0):
+    """`synthetic:N,LEN` | `jsonl:<path>` / `arrow:<path>` (data layer,
+    pre-tokenized) | a JSON file of token-id lists. `prefill_len` > 0 pads or
+    truncates every prompt to exactly that length (the reference greedy
+    testbed's `--S` long-prefill knob, `tests/testbed_greedy.py:240-245`)."""
     if spec.startswith("synthetic:"):
         n, ln = (int(x) for x in spec.split(":")[1].split(","))
         rng = np.random.default_rng(seed)
-        return [rng.integers(10, vocab, size=ln) for _ in range(n)]
-    with open(spec) as f:
-        return [np.asarray(p, np.int32) for p in json.load(f)]
+        prompts = [rng.integers(10, vocab, size=ln) for _ in range(n)]
+    elif spec.startswith(("jsonl:", "arrow:")):
+        from ..data.datasets import load_dataset_by_name
+
+        ds = load_dataset_by_name(spec, seq_len=max(prefill_len, 256))
+        prompts = [np.minimum(p, vocab - 1) for p in ds]
+    else:
+        with open(spec) as f:
+            prompts = [np.asarray(p, np.int32) for p in json.load(f)]
+    if prefill_len > 0:
+        from ..data.datasets import TokenDataset
+
+        ds = TokenDataset.from_sequences(prompts, seq_len=prefill_len)
+        prompts = [ds.ids[i] for i in range(len(ds))]  # exact-length rows
+    return prompts
 
 
 def load_growmap(spec: str):
@@ -103,7 +119,14 @@ def main(argv=None) -> None:
     ap.add_argument("--P", type=float, default=0.9)
     ap.add_argument("--M", type=int, default=256, help="max buffer length")
     ap.add_argument("--gen", type=int, default=128, help="max new tokens/prompt")
-    ap.add_argument("--prompts", default="synthetic:4,128")
+    ap.add_argument("--prompts", default="synthetic:4,128",
+                    help="synthetic:N,LEN | jsonl:<path> | arrow:<path> | token-id JSON")
+    ap.add_argument("--S", type=int, default=0,
+                    help="force prefill length (pad/truncate prompts; "
+                         "long-prefill runs, testbed_greedy --S)")
+    ap.add_argument("--start", type=int, default=0,
+                    help="dataset window start (tests/testbed.py:27)")
+    ap.add_argument("--end", type=int, default=None, help="dataset window end")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--device-loop", action="store_true", default=True)
@@ -115,7 +138,9 @@ def main(argv=None) -> None:
     target_params, target_cfg = build_params(
         args.target, args.target_weights, args.dtype, args.seed
     )
-    prompts = load_prompts(args.prompts, target_cfg.vocab_size, args.seed)
+    prompts = load_prompts(args.prompts, target_cfg.vocab_size, args.seed,
+                           prefill_len=args.S)
+    prompts = prompts[args.start : args.end]
 
     total_tokens = 0
     total_steps = 0

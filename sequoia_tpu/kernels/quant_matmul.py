@@ -1,0 +1,159 @@
+"""Fused dequantize(int8 / packed-int4) + matmul Pallas kernel.
+
+Decode is weight-bandwidth bound, so the whole point of weight-only
+quantization is that weights cross HBM in their quantized form and expand in
+registers/VMEM. XLA does this acceptably for a plain int8 `convert`+`dot`,
+but the packed-int4 unpack (bit ops + concat) breaks its fusion and the
+bf16 weight gets materialized in HBM *every forward* (~21x slowdown measured
+on v5e). This kernel performs the unpack + dequant inside the matmul tile
+loop: the weight tile is read as int8 bytes, expanded to bf16 in VMEM, fed
+to the MXU, and discarded.
+
+Layouts (see quant/qtensor.py):
+- int8:  q [K, N] int8, scale [1, N] f32
+- int4:  q [K/2, N] int8 half-split packed (low nibble = w[k], high nibble =
+         w[K/2 + k]), scale [1, N] f32.  x @ w = x[:, :K/2] @ lo + x[:, K/2:] @ hi
+         — no interleave needed.
+
+Grid: (N tiles, K tiles), K innermost; f32 accumulator tile in VMEM scratch,
+scaled and written out on the last K step. Replaces the role the reference
+delegated to CUDA via torch (`Engine/offload_engine.py` streams fp16 over
+PCIe instead; SURVEY.md §2.4 maps that path to quantization + sharding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]                      # [R, Kb] bf16
+    w = q_ref[...].astype(x.dtype)      # [Kb, Nb] int8 -> bf16 in VMEM
+    acc_ref[...] += jax.lax.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(1) == k_tiles - 1)
+    def _done():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def _kernel_int4(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    packed = q_ref[...].astype(jnp.int32)          # [Kb, Nb]
+    lo = packed & 0x0F
+    hi = (packed >> 4) & 0x0F
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    x_lo = x_lo_ref[...]                            # [R, Kb]
+    x_hi = x_hi_ref[...]
+    acc_ref[...] += jax.lax.dot(
+        x_lo, lo.astype(x_lo.dtype), preferred_element_type=jnp.float32
+    )
+    acc_ref[...] += jax.lax.dot(
+        x_hi, hi.astype(x_hi.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(1) == k_tiles - 1)
+    def _done():
+        o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _tile(dim: int, want: int, mult: int) -> int:
+    """Largest tile <= want that divides dim (dim is padded to `mult`)."""
+    t = min(want, dim)
+    while dim % t:
+        t -= mult
+    return max(t, mult)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bits", "interpret", "block_n", "block_k", "out_dtype")
+)
+def quant_matmul(
+    x: jax.Array,          # [R, K] float (bf16/f32)
+    q: jax.Array,          # int8 [K, N] (int8) or [K/2, N] (packed int4)
+    scale: jax.Array,      # f32 [1, N]
+    *,
+    bits: int,
+    interpret: bool = False,
+    block_n: int = 512,
+    block_k: int = 1024,
+    out_dtype=None,
+) -> jax.Array:
+    """Returns `x @ dequant(q, scale)` as `out_dtype` (default x.dtype),
+    f32 accumulation."""
+    R, K = x.shape
+    N = scale.shape[-1]
+    out_dtype = out_dtype or x.dtype
+    assert bits in (8, 4)
+    assert q.shape[-1] == N and q.shape[-2] * (1 if bits == 8 else 2) == K
+
+    # Pad rows to the f32 sublane multiple; N and the K extent to the lane
+    # multiple (zero K padding contributes nothing to the dot).
+    Rp = _round_up(max(R, 8), 8)
+    Np = _round_up(N, 128)
+    Kqp = _round_up(q.shape[-2], 128)
+    if Rp != R:
+        x = jnp.pad(x, ((0, Rp - R), (0, 0)))
+    if Np != N or Kqp != q.shape[-2]:
+        q = jnp.pad(q, ((0, Kqp - q.shape[-2]), (0, Np - N)))
+        scale = jnp.pad(scale, ((0, 0), (0, Np - N)))
+
+    Kq = q.shape[-2]  # padded K (int8) or K/2 (int4) extent of the q array
+    bn = _tile(Np, block_n, 128)
+    bkq = _tile(Kq, block_k if bits == 8 else block_k // 2, 128)
+    n_tiles, k_tiles = Np // bn, Kq // bkq
+
+    scratch = pltpu.VMEM((Rp, bn), jnp.float32)
+    if bits == 8:
+        if Kq != x.shape[-1]:
+            x = jnp.pad(x, ((0, 0), (0, Kq - x.shape[-1])))
+        out = pl.pallas_call(
+            functools.partial(_kernel_int8, k_tiles=k_tiles),
+            grid=(n_tiles, k_tiles),
+            in_specs=[
+                pl.BlockSpec((Rp, bkq), lambda n, k: (0, k)),
+                pl.BlockSpec((bkq, bn), lambda n, k: (k, n)),
+                pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+            ],
+            out_specs=pl.BlockSpec((Rp, bn), lambda n, k: (0, n)),
+            out_shape=jax.ShapeDtypeStruct((Rp, Np), out_dtype),
+            scratch_shapes=[scratch],
+            interpret=interpret,
+        )(x, q, scale)
+    else:
+        half = K // 2
+        x_lo, x_hi = x[:, :half], x[:, half:]
+        if Kq != half:
+            x_lo = jnp.pad(x_lo, ((0, 0), (0, Kq - half)))
+            x_hi = jnp.pad(x_hi, ((0, 0), (0, Kq - half)))
+        out = pl.pallas_call(
+            functools.partial(_kernel_int4, k_tiles=k_tiles),
+            grid=(n_tiles, k_tiles),
+            in_specs=[
+                pl.BlockSpec((Rp, bkq), lambda n, k: (0, k)),
+                pl.BlockSpec((Rp, bkq), lambda n, k: (0, k)),
+                pl.BlockSpec((bkq, bn), lambda n, k: (k, n)),
+                pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+            ],
+            out_specs=pl.BlockSpec((Rp, bn), lambda n, k: (0, n)),
+            out_shape=jax.ShapeDtypeStruct((Rp, Np), out_dtype),
+            scratch_shapes=[scratch],
+            interpret=interpret,
+        )(x_lo, x_hi, q, scale)
+    return out[:R, :N]

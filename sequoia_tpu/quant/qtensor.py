@@ -46,28 +46,34 @@ def quantize_int8(w: jax.Array) -> QuantizedTensor:
 
 
 def quantize_int4(w: jax.Array) -> QuantizedTensor:
-    """int4 symmetric per-out-channel, packed 2 values/byte along `in`
-    (even rows in low nibble, odd rows in high nibble)."""
+    """int4 symmetric per-out-channel, packed 2 values/byte along `in` in
+    HALF-SPLIT layout: packed row r holds w[r] in the low nibble and
+    w[in/2 + r] in the high nibble. Unpacking is then a concat along `in` —
+    no interleave/shuffle — which keeps the in-kernel (Pallas) and XLA
+    dequant paths cheap and layout-friendly."""
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
     assert q.shape[-2] % 2 == 0, "int4 packing needs even `in` dim"
-    lo = q[..., 0::2, :] & 0x0F
-    hi = (q[..., 1::2, :] & 0x0F) << 4
+    half = q.shape[-2] // 2
+    lo = q[..., :half, :] & 0x0F
+    hi = (q[..., half:, :] & 0x0F) << 4
     packed = (lo | hi).astype(jnp.int8)
     return QuantizedTensor(q=packed, scale=scale)
 
 
-def _unpack_int4(packed: jax.Array) -> jax.Array:
-    """[..., in/2, out] packed -> [..., in, out] int8 in [-7, 7]."""
-    lo = (packed & 0x0F).astype(jnp.int8)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
-    # sign-extend 4-bit two's complement
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    stacked = jnp.stack([lo, hi], axis=-2)  # [..., in/2, 2, out]
-    return stacked.reshape(*packed.shape[:-2], packed.shape[-2] * 2, packed.shape[-1])
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """[..., in/2, out] half-split packed -> [..., in, out] int8 in [-7, 7]."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0x0F
+    hi = (p >> 4) & 0x0F
+    lo = jnp.where(lo >= 8, lo - 16, lo).astype(jnp.int8)
+    hi = jnp.where(hi >= 8, hi - 16, hi).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+_unpack_int4 = unpack_int4  # back-compat alias
 
 
 def is_int4(w: QuantizedTensor) -> bool:
@@ -82,14 +88,37 @@ def _expected_in_dim(w: QuantizedTensor) -> int:
     return w.q.shape[-2] * 2
 
 
+import os
+
+# Quantized-matmul implementation: "xla" (convert+dot, fine for int8),
+# "pallas" (fused in-kernel dequant — required for int4 speed: the XLA
+# unpack path rematerializes the bf16 weight every forward, measured ~21x
+# slower on v5e), "pallas_interpret" (kernel in interpreter mode, CPU
+# tests). Default from $SEQUOIA_QMM.
+_QMM_IMPL = os.environ.get("SEQUOIA_QMM", "xla")
+
+
+def set_quant_matmul_impl(impl: str) -> None:
+    global _QMM_IMPL
+    assert impl in ("xla", "pallas", "pallas_interpret"), impl
+    _QMM_IMPL = impl
+
+
 def matmul(x: jax.Array, w: WeightLike, *, preferred_element_type=None) -> jax.Array:
     """x @ w with on-the-fly dequantization for QuantizedTensor weights."""
     if isinstance(w, QuantizedTensor):
-        if w.q.shape[-2] == x.shape[-1]:
-            wq = w.q  # int8
-        else:
+        bits = 8 if w.q.shape[-2] == x.shape[-1] else 4
+        if bits == 4:
             assert w.q.shape[-2] * 2 == x.shape[-1], (w.q.shape, x.shape)
-            wq = _unpack_int4(w.q)
+        if _QMM_IMPL != "xla" and x.ndim == 2 and w.q.ndim == 2:
+            from ..kernels.quant_matmul import quant_matmul
+
+            return quant_matmul(
+                x, w.q, w.scale.astype(jnp.float32), bits=bits,
+                interpret=(_QMM_IMPL == "pallas_interpret"),
+                out_dtype=preferred_element_type,  # None -> x.dtype
+            )
+        wq = w.q if bits == 8 else unpack_int4(w.q)
         y = jnp.dot(
             x, wq.astype(x.dtype),
             preferred_element_type=preferred_element_type or jnp.float32,

@@ -41,8 +41,9 @@ def test_int4_pack_unpack_exact():
     # pack via quantize path internals: build float with unit scales
     from sequoia_tpu.quant.qtensor import QuantizedTensor
 
-    lo = q[0::2, :] & 0x0F
-    hi = (q[1::2, :] & 0x0F) << 4
+    # half-split layout: low nibble = first-half rows, high = second half
+    lo = q[:8, :] & 0x0F
+    hi = (q[8:, :] & 0x0F) << 4
     packed = (lo | hi).astype(jnp.int8)
     out = _unpack_int4(packed)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(q))

@@ -52,6 +52,10 @@ def main() -> None:
     ap.add_argument("--max-depth", type=int, default=8)
     ap.add_argument("--ref-speedup", type=float, default=4.04,
                     help="reference A100 speedup for the same pair (BASELINE.md)")
+    ap.add_argument("--save-growmaps", default="growmaps",
+                    help="emit a per-hardware growmap library (budget sweep, "
+                         "the A100_growmaps/-S4..-S512 artifact analog); "
+                         "'' disables")
     args = ap.parse_args()
 
     import jax
@@ -118,6 +122,25 @@ def main() -> None:
     log(f"planned tree: size={gm.size} depth={int(gm.depth.max())} "
         f"widths={gm.level_widths} E[accept]={e_acc:.3f} "
         f"planner dec_time={info['dec_time'] * 1e3:.2f} ms/token")
+
+    if args.save_growmaps:
+        # Growmap artifact library for this hardware/target/precision — the
+        # analog of the reference's bundled budget-sweep growmaps
+        # (A100_growmaps/*-stochastic-S4.pt ... -S512.pt, SURVEY.md §2.2).
+        import os
+
+        os.makedirs(args.save_growmaps, exist_ok=True)
+        dev = jax.devices()[0].device_kind.replace(" ", "-")
+        for cap in (4, 8, 16, 32, 64, 128):
+            vb = [b for b in budgets if b <= cap] or [budgets[0]]
+            tt = target_time[: len(vb)]
+            gm_s, info_s = plan(p, vb, tt, draft_time, max_depth=args.max_depth)
+            dst = os.path.join(
+                args.save_growmaps,
+                f"{dev}-{args.target}-{args.quant}-{args.draft}-stochastic-S{cap}.json",
+            )
+            gm_s.to_json(dst)
+        log(f"growmap library -> {args.save_growmaps}/ ({dev})")
 
     # ---- 3. measured speculative iteration latency -----------------------
     eng = SpecEngine(

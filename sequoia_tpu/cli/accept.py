@@ -19,6 +19,9 @@ def main(argv=None) -> None:
     ap.add_argument("--draft-weights", default="random")
     ap.add_argument("--target-weights", default="random")
     ap.add_argument("--method", choices=["static", "dynamic"], default="static")
+    ap.add_argument("--mode", choices=["stochastic", "greedy"], default="stochastic",
+                    help="dynamic protocol: SpecTreeTest vs GreedyTreeTest "
+                         "(tests/test_accept.py --Mode)")
     ap.add_argument("--W", type=int, default=8, help="max rank / star width")
     ap.add_argument("--T", type=float, default=0.6)
     ap.add_argument("--P", type=float, default=0.9)
@@ -53,6 +56,7 @@ def main(argv=None) -> None:
             width=args.W, steps_per_prompt=args.steps,
             temperature=args.T, top_p=args.P, max_length=args.M,
             seed=args.seed,
+            algorithm={"stochastic": "sequoia", "greedy": "greedy"}[args.mode],
         )
     print("acceptance vector:", np.round(vec, 4).tolist())
     with open(args.dst, "w") as f:

@@ -143,8 +143,13 @@ def forward(
         hidden = hidden + mlp
         return hidden, (k_cache, v_cache)
 
+    # Unroll shallow stacks (draft models are 2-12 layers): the scan loop
+    # boundary blocks XLA from fusing/overlapping across layers, and at
+    # draft scale per-forward overhead — not FLOPs — dominates the
+    # speculation cost (planner draft_time sensitivity: SURVEY.md §3.3).
+    unroll = cfg.num_layers if cfg.num_layers <= 12 else 1
     hidden, (new_k, new_v) = jax.lax.scan(
-        layer_step, hidden, (params.layers, kv.k, kv.v)
+        layer_step, hidden, (params.layers, kv.k, kv.v), unroll=unroll
     )
     hidden = rms_norm(hidden, params.final_norm, cfg.rms_norm_eps)
     logits = qmm(hidden, params.lm_head, preferred_element_type=jnp.float32)

@@ -73,12 +73,27 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
-def _tile(dim: int, want: int, mult: int) -> int:
-    """Largest tile <= want that divides dim (dim is padded to `mult`)."""
-    t = min(want, dim)
-    while dim % t:
-        t -= mult
-    return max(t, mult)
+def _pick_blocks(R: int, Kq: int, N: int, want_n: int, want_kq: int):
+    """Choose (bn, bkq) fitting the ~16MB scoped-VMEM budget; the arrays are
+    zero-padded UP to block multiples (zero K/N padding is mathematically
+    inert), so blocks are free to be large — large K blocks are what make
+    the weight stream at HBM burst size."""
+    bn = min(want_n, _round_up(N, 128))
+    bkq = min(want_kq, _round_up(Kq, 128))
+
+    def vmem(bn, bkq):
+        x = R * bkq * 2 * 2            # bf16, double-buffered (x2 for int4 halves)
+        q = bkq * bn * 1 * 2           # int8 bytes, double-buffered
+        acc = R * bn * 4
+        out = R * bn * 4 * 2
+        s = 4 * bn * 2
+        return 2 * x + q + acc + out + s
+
+    while vmem(bn, bkq) > 12 * 1024 * 1024 and bkq > 512:
+        bkq //= 2
+    while vmem(bn, bkq) > 12 * 1024 * 1024 and bn > 256:
+        bn //= 2
+    return bn, bkq
 
 
 @functools.partial(
@@ -91,8 +106,8 @@ def quant_matmul(
     *,
     bits: int,
     interpret: bool = False,
-    block_n: int = 512,
-    block_k: int = 1024,
+    block_n: int = 1024,
+    block_k: int = 4096,
     out_dtype=None,
 ) -> jax.Array:
     """Returns `x @ dequant(q, scale)` as `out_dtype` (default x.dtype),
@@ -103,57 +118,59 @@ def quant_matmul(
     assert bits in (8, 4)
     assert q.shape[-1] == N and q.shape[-2] * (1 if bits == 8 else 2) == K
 
-    # Pad rows to the f32 sublane multiple; N and the K extent to the lane
-    # multiple (zero K padding contributes nothing to the dot).
-    Rp = _round_up(max(R, 8), 8)
-    Np = _round_up(N, 128)
-    Kqp = _round_up(q.shape[-2], 128)
-    if Rp != R:
-        x = jnp.pad(x, ((0, Rp - R), (0, 0)))
-    if Np != N or Kqp != q.shape[-2]:
-        q = jnp.pad(q, ((0, Kqp - q.shape[-2]), (0, Np - N)))
+    # Blocks first (VMEM-budgeted), then pad N / K UP to block multiples —
+    # zero padding is inert in the dot and keeps K blocks at HBM burst size
+    # regardless of awkward dims like 11008. Rows are passed through
+    # unpadded: Pallas masks partial row blocks itself.
+    Kq0 = q.shape[-2]
+    bn, bkq = _pick_blocks(R, Kq0, N, block_n, block_k if bits == 8 else block_k // 2)
+    Np = _round_up(N, bn)
+    Kqp = _round_up(Kq0, bkq)
+    if Np != N or Kqp != Kq0:
+        q = jnp.pad(q, ((0, Kqp - Kq0), (0, Np - N)))
         scale = jnp.pad(scale, ((0, 0), (0, Np - N)))
+    n_tiles, k_tiles = Np // bn, Kqp // bkq
 
-    Kq = q.shape[-2]  # padded K (int8) or K/2 (int4) extent of the q array
-    bn = _tile(Np, block_n, 128)
-    bkq = _tile(Kq, block_k if bits == 8 else block_k // 2, 128)
-    n_tiles, k_tiles = Np // bn, Kq // bkq
-
-    scratch = pltpu.VMEM((Rp, bn), jnp.float32)
+    scratch = pltpu.VMEM((R, bn), jnp.float32)
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+    )
     if bits == 8:
-        if Kq != x.shape[-1]:
-            x = jnp.pad(x, ((0, 0), (0, Kq - x.shape[-1])))
+        if Kqp != K:
+            x = jnp.pad(x, ((0, 0), (0, Kqp - K)))
         out = pl.pallas_call(
             functools.partial(_kernel_int8, k_tiles=k_tiles),
             grid=(n_tiles, k_tiles),
             in_specs=[
-                pl.BlockSpec((Rp, bkq), lambda n, k: (0, k)),
+                pl.BlockSpec((R, bkq), lambda n, k: (0, k)),
                 pl.BlockSpec((bkq, bn), lambda n, k: (k, n)),
                 pl.BlockSpec((1, bn), lambda n, k: (0, n)),
             ],
-            out_specs=pl.BlockSpec((Rp, bn), lambda n, k: (0, n)),
-            out_shape=jax.ShapeDtypeStruct((Rp, Np), out_dtype),
+            out_specs=pl.BlockSpec((R, bn), lambda n, k: (0, n)),
+            out_shape=jax.ShapeDtypeStruct((R, Np), out_dtype),
             scratch_shapes=[scratch],
             interpret=interpret,
+            compiler_params=params,
         )(x, q, scale)
     else:
         half = K // 2
         x_lo, x_hi = x[:, :half], x[:, half:]
-        if Kq != half:
-            x_lo = jnp.pad(x_lo, ((0, 0), (0, Kq - half)))
-            x_hi = jnp.pad(x_hi, ((0, 0), (0, Kq - half)))
+        if Kqp != half:
+            x_lo = jnp.pad(x_lo, ((0, 0), (0, Kqp - half)))
+            x_hi = jnp.pad(x_hi, ((0, 0), (0, Kqp - half)))
         out = pl.pallas_call(
             functools.partial(_kernel_int4, k_tiles=k_tiles),
             grid=(n_tiles, k_tiles),
             in_specs=[
-                pl.BlockSpec((Rp, bkq), lambda n, k: (0, k)),
-                pl.BlockSpec((Rp, bkq), lambda n, k: (0, k)),
+                pl.BlockSpec((R, bkq), lambda n, k: (0, k)),
+                pl.BlockSpec((R, bkq), lambda n, k: (0, k)),
                 pl.BlockSpec((bkq, bn), lambda n, k: (k, n)),
                 pl.BlockSpec((1, bn), lambda n, k: (0, n)),
             ],
-            out_specs=pl.BlockSpec((Rp, bn), lambda n, k: (0, n)),
-            out_shape=jax.ShapeDtypeStruct((Rp, Np), out_dtype),
+            out_specs=pl.BlockSpec((R, bn), lambda n, k: (0, n)),
+            out_shape=jax.ShapeDtypeStruct((R, Np), out_dtype),
             scratch_shapes=[scratch],
             interpret=interpret,
+            compiler_params=params,
         )(x_lo, x_hi, q, scale)
-    return out[:R, :N]
+    return out[:, :N] if Np != N else out

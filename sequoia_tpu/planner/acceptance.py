@@ -132,16 +132,20 @@ def dynamic_acceptance(
     top_p: float = 0.9,
     max_length: int = 256,
     seed: int = 0,
+    algorithm: str = "sequoia",
 ) -> np.ndarray:
     """Accepted-child-rank histogram from real engine runs with a depth-1
-    star tree (the SpecTreeTest protocol). Returns `[0, p1, ..., pW]` with
-    p_b = P(rank-b child accepted) across steps."""
+    star tree. Returns `[0, p1, ..., pW]` with p_b = P(rank-b child
+    accepted) across steps. `algorithm="sequoia"` is the SpecTreeTest
+    protocol (`Tree/SpecTree.py:288`), `"greedy"` the GreedyTreeTest one
+    (`Tree/GreedyTree.py:267`: top-W draft children, accept = argmax
+    match)."""
     from ..engine.engine import SpecEngine
 
     gm = uniform_tree(1, width)
     eng = SpecEngine(
         draft_params, draft_cfg, target_params, target_cfg, gm,
-        algorithm="sequoia", max_length=max_length,
+        algorithm=algorithm, max_length=max_length,
         temperature=temperature, top_p=top_p,
     )
     hist = np.zeros(width + 1, np.int64)

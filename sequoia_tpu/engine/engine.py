@@ -128,7 +128,8 @@ class SpecEngine:
         self.max_depth = int(gm.depth.max()) if gm.size > 1 else 0
         # Static device constants for the jitted iteration.
         self._anc = jnp.asarray(gm.ancestors)
-        self._succ = jnp.asarray(gm.successors_padded())
+        self._succ_np = gm.successors_padded()  # static: sparse accept walk
+        self._succ = jnp.asarray(self._succ_np)
         self._depth = jnp.asarray(gm.depth, jnp.int32)
         self._child_rank = jnp.asarray(gm.child_rank())
         self._level_roots = [jnp.asarray(r, jnp.int32) for r in gm.roots]
@@ -333,7 +334,7 @@ class SpecEngine:
             p = target_probs(target_logits, self.top_p, self.temperature)
             r = jax.random.uniform(k_r, (gm_size,), jnp.float32)
             acc: AcceptResult = stochastic_accept(
-                p, draft_logits, tokens_tree, r, self._succ,
+                p, draft_logits, tokens_tree, r, self._succ_np,
                 self.temperature,
                 strict=(self.algorithm == "sequoia"),
                 mask_rejected_draft=(self.algorithm == "sequoia"),

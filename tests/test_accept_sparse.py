@@ -1,0 +1,46 @@
+"""Sparse (static-growmap) stochastic accept walk vs the dense reference
+implementation: identical decisions and residuals on random trees."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sequoia_tpu.ops.sampling import target_probs
+from sequoia_tpu.trees.accept import stochastic_accept, stochastic_accept_dense
+from sequoia_tpu.trees.growmap import chain, uniform_tree
+
+
+def _rand_inputs(gm, key, vocab=64):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    size = gm.size
+    tl = jax.random.normal(k1, (size, vocab)) * 2
+    dl = jax.random.normal(k2, (size, vocab)) * 2
+    p = target_probs(tl, 0.9, 0.8)
+    tokens = jax.random.randint(k3, (size,), 0, vocab, jnp.int32)
+    r = jax.random.uniform(k4, (size,))
+    return p, dl, tokens, r
+
+
+@pytest.mark.parametrize("gm_fn", [lambda: uniform_tree(3, 2),
+                                   lambda: uniform_tree(1, 7),
+                                   lambda: chain(6),
+                                   lambda: uniform_tree(2, 3)])
+@pytest.mark.parametrize("strict,mask", [(True, True), (False, False)])
+def test_sparse_matches_dense(gm_fn, strict, mask):
+    gm = gm_fn()
+    succ = gm.successors_padded()
+    for seed in range(5):
+        p, dl, tokens, r = _rand_inputs(gm, jax.random.PRNGKey(seed))
+        dense = stochastic_accept_dense(
+            p, dl, tokens, r, jnp.asarray(succ), 0.8, strict, mask
+        )
+        sparse = stochastic_accept(p, dl, tokens, r, succ, 0.8, strict, mask)
+        np.testing.assert_array_equal(
+            np.asarray(dense.accepted_child), np.asarray(sparse.accepted_child)
+        )
+        np.testing.assert_allclose(
+            np.asarray(dense.p_final), np.asarray(sparse.p_final),
+            rtol=1e-5, atol=1e-6,
+        )

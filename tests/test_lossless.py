@@ -39,8 +39,8 @@ def _emit_one(key, p_root, draft_logits_root, k_children, temperature, strict, m
     grow = sample_without_replacement if mask_rejected else sample_with_replacement
     children = grow(k_grow, draft_logits_root[None, :], temperature, k_children)[0]
     tokens_tree = jnp.concatenate([jnp.zeros((1,), jnp.int32), children.astype(jnp.int32)])
-    successors = jnp.full((size, k_children), -1, jnp.int32)
-    successors = successors.at[0, :].set(jnp.arange(1, size, dtype=jnp.int32))
+    successors = np.full((size, k_children), -1, np.int32)
+    successors[0, :] = np.arange(1, size, dtype=np.int32)
     p = jnp.zeros((size, VOCAB)).at[0].set(p_root)
     dl = jnp.zeros((size, VOCAB)).at[0].set(draft_logits_root)
     r = jax.random.uniform(k_r, (size,))
@@ -108,8 +108,8 @@ def test_sequoia_beats_specinfer_acceptance():
             tokens_tree = jnp.concatenate(
                 [jnp.zeros((1,), jnp.int32), children.astype(jnp.int32)]
             )
-            successors = jnp.full((size, kch), -1, jnp.int32)
-            successors = successors.at[0, :].set(jnp.arange(1, size, dtype=jnp.int32))
+            successors = np.full((size, kch), -1, np.int32)
+            successors[0, :] = np.arange(1, size, dtype=np.int32)
             p = jnp.zeros((size, VOCAB)).at[0].set(jnp.asarray(p_root))
             dl = jnp.zeros((size, VOCAB)).at[0].set(jnp.asarray(draft_logits))
             r = jax.random.uniform(k_r, (size,))

@@ -1,0 +1,145 @@
+"""Train correlated draft/target pairs offline.
+
+The engine's acceptance statistics are meaningless with independent random
+weights (accept rate ~1/vocab). The reference sidesteps this by downloading
+pretrained pairs (68m + llama-2-7b); in a zero-egress environment we instead
+*train* a tiny target on the bundled pre-tokenized corpus and train a
+smaller draft on the same data (or distill it from the target), giving a
+genuinely correlated pair — so the full hardware-aware loop (measure
+acceptance vector -> plan growmap -> speculative decode) runs end-to-end
+with real statistics and no network.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import LlamaConfig
+from ..core.init import random_params
+from ..core.model import LlamaParams, forward
+from ..kvcache.cache import KVCache
+from ..ops import masks
+
+
+def _batch_logits(params, cfg, tokens):  # tokens: [B, T]
+    T = tokens.shape[1]
+    pos = jnp.arange(T, dtype=jnp.int32)
+    mask = masks.causal_mask(T, T, 0)
+
+    def one(tok):
+        kv = KVCache.init(cfg, T, jnp.float32)
+        logits, _ = forward(params, cfg, tok, pos, kv, 0, mask)
+        return logits
+
+    return jax.vmap(one)(tokens)  # [B, T, V]
+
+
+def lm_loss(params, cfg, tokens):
+    """Next-token cross-entropy over a [B, T] batch."""
+    logits = _batch_logits(params, cfg, tokens)[:, :-1]
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return nll.mean()
+
+
+def distill_loss(params, cfg, teacher_logits, tokens, temperature=1.0):
+    """KL(teacher || student) on teacher logits (soft distillation)."""
+    logits = _batch_logits(params, cfg, tokens)[:, :-1]
+    t = jax.nn.softmax(teacher_logits[:, :-1] / temperature, axis=-1)
+    logp = jax.nn.log_softmax(logits / temperature, axis=-1)
+    return -(t * logp).sum(axis=-1).mean()
+
+
+def train_lm(
+    cfg: LlamaConfig,
+    data: np.ndarray,  # i32 [N, T] token rows (vocab must fit cfg.vocab_size)
+    *,
+    steps: int = 300,
+    batch_size: int = 8,
+    lr: float = 3e-3,
+    seed: int = 0,
+    teacher: Optional[Tuple[LlamaParams, LlamaConfig]] = None,
+    init: Optional[LlamaParams] = None,
+) -> LlamaParams:
+    """Adam-train a model on `data` (CE), or distill from `teacher`."""
+    import optax
+
+    data = np.asarray(data, np.int32)
+    assert data.max() < cfg.vocab_size
+    params = init if init is not None else random_params(
+        cfg, jax.random.PRNGKey(seed), dtype=jnp.float32
+    )
+    opt = optax.adamw(lr, weight_decay=0.01)
+    opt_state = opt.init(params)
+
+    if teacher is not None:
+        t_params, t_cfg = teacher
+        t_fn = jax.jit(partial(_batch_logits, t_params, t_cfg))
+
+        def loss_fn(p, batch, tlogits):
+            return distill_loss(p, cfg, tlogits, batch)
+    else:
+        def loss_fn(p, batch, tlogits):
+            return lm_loss(p, cfg, batch)
+
+    @jax.jit
+    def step(params, opt_state, batch, tlogits):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, tlogits)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        idx = rng.integers(0, len(data), size=batch_size)
+        batch = jnp.asarray(data[idx])
+        tlogits = t_fn(batch) if teacher is not None else jnp.zeros(())
+        params, opt_state, loss = step(params, opt_state, batch, tlogits)
+    return params
+
+
+def corpus_from_reference(
+    path: str = "/root/reference/dataset/c4_small.json",
+    vocab_size: int = 512,
+    seq_len: int = 64,
+    limit: int = 200,
+) -> np.ndarray:
+    """Bundled c4_small token rows remapped into a small vocab. The mod-remap
+    destroys the original token identities but preserves *sequential
+    structure* (the same deterministic stream for draft and target), which is
+    all acceptance-rate correlation needs."""
+    from ..data.datasets import load_pretokenized_jsonl
+
+    ds = load_pretokenized_jsonl(path, seq_len=seq_len, limit=limit)
+    return (ds.ids % vocab_size).astype(np.int32)
+
+
+def make_correlated_pair(
+    *,
+    steps: int = 300,
+    seq_len: int = 64,
+    seed: int = 0,
+    distill_draft: bool = False,
+):
+    """Train a (draft, target) pair on the bundled corpus. Returns
+    `(draft_params, draft_cfg, target_params, target_cfg)` (f32)."""
+    from ..core.config import get_config
+
+    t_cfg = get_config("test-small")   # 4 layers, 128 hidden, vocab 512
+    d_cfg = get_config("test-tiny")    # 2 layers, 64 hidden, vocab 256
+    import dataclasses
+
+    d_cfg = dataclasses.replace(d_cfg, vocab_size=t_cfg.vocab_size)
+    data = corpus_from_reference(vocab_size=t_cfg.vocab_size, seq_len=seq_len)
+    target = train_lm(t_cfg, data, steps=steps, seed=seed)
+    if distill_draft:
+        draft = train_lm(d_cfg, data, steps=steps, seed=seed + 1,
+                         teacher=(target, t_cfg))
+    else:
+        draft = train_lm(d_cfg, data, steps=steps, seed=seed + 1)
+    return draft, d_cfg, target, t_cfg

@@ -142,7 +142,7 @@ class SpecEngine:
         self._prefill_chunk_fn = jax.jit(self._prefill_chunk_impl, donate_argnums=(2,))
         self._generate_loop = jax.jit(self._generate_loop_impl, donate_argnums=(2,))
         # Phased path (benchmark mode): same impl pieces, jitted separately
-        # so each phase can be timed with block_until_ready. No donation —
+        # so each phase can be timed with a hard host sync. No donation —
         # phases share the incoming state.
         self._grow_fn = jax.jit(self._grow_impl)
         self._target_fn = jax.jit(self._target_impl)
@@ -480,10 +480,12 @@ class SpecEngine:
         "kv select"). Returns `(state, stats, {phase: seconds})`."""
         import time
 
+        from ..utils import hard_sync
+
         times = {}
         t0 = time.perf_counter()
         grow_out = self._grow_fn(self.draft_params, state)
-        jax.block_until_ready(grow_out)
+        hard_sync(grow_out)
         times["draft_run"] = time.perf_counter() - t0
         tokens_tree, draft_logits, tokens_buf, draft_kv, key = grow_out
 
@@ -491,7 +493,7 @@ class SpecEngine:
         target_logits, target_kv = self._target_fn(
             self.target_params, state, tokens_tree
         )
-        jax.block_until_ready(target_logits)
+        hard_sync(target_logits)
         times["target_run"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
@@ -499,7 +501,7 @@ class SpecEngine:
             self.draft_params, state, tokens_tree, draft_logits, tokens_buf,
             draft_kv, key, target_logits, target_kv,
         )
-        jax.block_until_ready(new_state)
+        hard_sync(new_state)
         times["accept_kv"] = time.perf_counter() - t0
         return new_state, stats, times
 

@@ -50,11 +50,12 @@ def _kernel_int4(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles: i
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = q_ref[...].astype(jnp.int32)          # [Kb, Nb]
-    lo = packed & 0x0F
-    hi = (packed >> 4) & 0x0F
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
+    packed = q_ref[...].astype(jnp.int32)           # [Kb, Nb]
+    # Sign-extended nibble extraction via arithmetic shifts — two VPU ops per
+    # nibble instead of mask+compare+select (Mosaic lacks int8 shifts, so the
+    # shifts run in int32).
+    lo = (packed << 28) >> 28
+    hi = (packed << 24) >> 28
     x_lo = x_lo_ref[...]                            # [R, Kb]
     x_hi = x_hi_ref[...]
     acc_ref[...] += jax.lax.dot(

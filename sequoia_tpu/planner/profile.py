@@ -73,13 +73,19 @@ def time_forward_widths(
         tokens = jnp.zeros((w,), jnp.int32)
         pos = kv_len + jnp.arange(w, dtype=jnp.int32)
         mask = masks.causal_mask(w, max_length, kv_len)
-        for _ in range(warmup):
+        # `float(...)` (device_get) rather than block_until_ready: on
+        # remote-TPU tunnels block_until_ready can return before execution
+        # completes (observed on axon), silently timing nothing. Fetching
+        # the scalar value is a hard synchronization point either way, and
+        # warming up with a *different* token value defeats any
+        # same-input execution result caching in the runtime.
+        for i in range(warmup):
             kv = KVCache.init(cfg, max_length, dtype)
-            jax.block_until_ready(timed(params, tokens, pos, kv, mask))
+            float(timed(params, tokens + (2 + i), pos, kv, mask))
         kv = KVCache.init(cfg, max_length, dtype)
-        jax.block_until_ready(tokens)
+        jax.block_until_ready(kv.k)
         t0 = time.perf_counter()
-        jax.block_until_ready(timed(params, tokens, pos, kv, mask))
+        float(timed(params, tokens, pos, kv, mask))
         out.append((time.perf_counter() - t0) / reps)
     return out
 

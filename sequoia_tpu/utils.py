@@ -1,0 +1,32 @@
+"""Small host-side utilities."""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def hard_sync(tree) -> None:
+    """Force completion of every array in `tree` and prove it by fetching one
+    element of each to the host.
+
+    `jax.block_until_ready` is NOT a reliable synchronization point on
+    remote-TPU tunnels (observed on axon: it can return before the
+    computation has executed, making wall-clock timers measure nothing).
+    Device-to-host value transfer is a hard barrier on any backend. The
+    fetch is one element per leaf, so the transfer cost is a single RTT,
+    not proportional to buffer sizes.
+    """
+    leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "ravel")]
+    probes = [x.ravel()[:1] for x in leaves]
+    jax.device_get(probes)
+
+
+def hard_sync_all_devices() -> None:
+    """Barrier on the default device via a trivial round-trip."""
+    import jax.numpy as jnp
+
+    jax.device_get(jnp.zeros((1,)) + 1)
+
+
+__all__ = ["hard_sync", "hard_sync_all_devices"]

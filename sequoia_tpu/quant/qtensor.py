@@ -90,18 +90,40 @@ def _expected_in_dim(w: QuantizedTensor) -> int:
 
 import os
 
-# Quantized-matmul implementation: "xla" (convert+dot, fine for int8),
-# "pallas" (fused in-kernel dequant — required for int4 speed: the XLA
-# unpack path rematerializes the bf16 weight every forward, measured ~21x
-# slower on v5e), "pallas_interpret" (kernel in interpreter mode, CPU
-# tests). Default from $SEQUOIA_QMM.
-_QMM_IMPL = os.environ.get("SEQUOIA_QMM", "xla")
+# Quantized-matmul implementation: "auto" (per-backend/bits choice, see
+# `_resolve_impl`), "xla" (convert+dot, fine for int8), "pallas" (fused
+# in-kernel dequant — required for int4 speed: the XLA unpack path
+# rematerializes the bf16 weight every forward, measured ~10-21x slower on
+# v5e), "pallas_interpret" (kernel in interpreter mode, CPU tests).
+# Default from $SEQUOIA_QMM.
+_QMM_IMPL = os.environ.get("SEQUOIA_QMM", "auto")
 
 
 def set_quant_matmul_impl(impl: str) -> None:
     global _QMM_IMPL
-    assert impl in ("xla", "pallas", "pallas_interpret"), impl
+    assert impl in ("auto", "xla", "pallas", "pallas_interpret"), impl
     _QMM_IMPL = impl
+
+
+def _default_backend_is_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _resolve_impl(bits: int) -> str:
+    """"auto": XLA's convert+dot fuses the int8 dequant into the weight
+    stream already, but its packed-int4 unpack (shifts + concat) breaks
+    fusion and rematerializes the bf16 weight in HBM every forward
+    (~10x slower full-model forward measured on v5e) — int4 on TPU must go
+    through the fused Pallas kernel. On CPU there is no Mosaic, so always
+    XLA."""
+    if _QMM_IMPL != "auto":
+        return _QMM_IMPL
+    if bits == 4 and _default_backend_is_tpu():
+        return "pallas"
+    return "xla"
 
 
 def matmul(x: jax.Array, w: WeightLike, *, preferred_element_type=None) -> jax.Array:
@@ -110,12 +132,13 @@ def matmul(x: jax.Array, w: WeightLike, *, preferred_element_type=None) -> jax.A
         bits = 8 if w.q.shape[-2] == x.shape[-1] else 4
         if bits == 4:
             assert w.q.shape[-2] * 2 == x.shape[-1], (w.q.shape, x.shape)
-        if _QMM_IMPL != "xla" and x.ndim == 2 and w.q.ndim == 2:
+        impl = _resolve_impl(bits)
+        if impl != "xla" and x.ndim == 2 and w.q.ndim == 2:
             from ..kernels.quant_matmul import quant_matmul
 
             return quant_matmul(
                 x, w.q, w.scale.astype(jnp.float32), bits=bits,
-                interpret=(_QMM_IMPL == "pallas_interpret"),
+                interpret=(impl == "pallas_interpret"),
                 out_dtype=preferred_element_type,  # None -> x.dtype
             )
         wq = w.q if bits == 8 else unpack_int4(w.q)

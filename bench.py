@@ -46,6 +46,12 @@ def main() -> None:
                     help="target weight quantization (the TPU answer to the "
                          "reference's CPU-offloading path; int8 also halves "
                          "weight bandwidth = faster decode)")
+    ap.add_argument("--draft-quant", default="int8",
+                    choices=["none", "int8", "int4"],
+                    help="draft weight quantization: the draft runs 1 forward "
+                         "per tree level + the bonus re-draft (8 weight "
+                         "streams/iteration), so halving draft bytes cuts "
+                         "real per-iteration overhead")
     ap.add_argument("--max-length", type=int, default=256)
     ap.add_argument("--prefix-len", type=int, default=128)
     ap.add_argument("--gen-tokens", type=int, default=96)
@@ -95,7 +101,17 @@ def main() -> None:
         target_params = random_quantized_model(
             target_cfg, jax.random.PRNGKey(0), bits=bits
         )
-    draft_params = random_params(draft_cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    if args.draft_quant == "none":
+        draft_params = random_params(
+            draft_cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16
+        )
+    else:
+        from sequoia_tpu.quant.quantize import random_quantized_model
+
+        dbits = {"int8": 8, "int4": 4}[args.draft_quant]
+        draft_params = random_quantized_model(
+            draft_cfg, jax.random.PRNGKey(1), bits=dbits
+        )
     jax.block_until_ready((target_params.embed, draft_params.embed))
     log(f"param init ({args.quant}): {time.perf_counter() - t0:.1f}s")
 
@@ -183,7 +199,7 @@ def main() -> None:
         f"A100): {vs_ref_latency:.2f}x")
 
     print(json.dumps({
-        "metric": f"sequoia_tokens_per_sec_{args.target}-{args.quant}_{args.draft}",
+        "metric": f"sequoia_tokens_per_sec_{args.target}-{args.quant}_{args.draft}-{args.draft_quant}",
         "value": round(1.0 / per_token, 1),
         "unit": "tok/s (implied: E[accept]/iter_time)",
         "vs_baseline": round(vs_ref_latency, 3),

@@ -27,3 +27,25 @@ def test_bisect_keeps_top1_even_for_tiny_p():
     got = np.asarray(target_probs(logits, 0.01, 1.0))[0]
     assert got[1] == 1.0  # only the argmax survives
     assert got.sum() == 1.0
+
+
+@pytest.mark.parametrize("top_p", [0.1, 0.5, 0.9, 0.99])
+def test_fused_kernel_matches_xla_threshold(top_p):
+    """The Pallas kernel (interpret mode on CPU) must produce the identical
+    inclusive threshold as the XLA bisection at awkward shapes (row/lane
+    padding paths included)."""
+    from sequoia_tpu.kernels.top_p import top_p_threshold_fused
+    from sequoia_tpu.ops.sampling import top_p_threshold
+
+    rng = np.random.default_rng(1)
+    for rows, vocab in [(1, 500), (7, 1000), (16, 384), (13, 130)]:
+        logits = rng.normal(size=(rows, vocab)).astype(np.float32) * 3
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        want = np.asarray(top_p_threshold(jnp.asarray(probs), top_p))
+        got = np.asarray(
+            top_p_threshold_fused(jnp.asarray(probs), top_p, interpret=True)
+        )
+        np.testing.assert_array_equal(got, want, err_msg=f"{rows}x{vocab}")
+        # thresholds select a non-empty nucleus
+        kept = (probs >= got[:, None]).sum(-1)
+        assert (kept >= 1).all()

@@ -176,13 +176,27 @@ def main() -> None:
         temperature=0.6, top_p=0.9, prefill_chunk=128,
     )
     eng.generate_fast(prompt, max_new_tokens=4)  # warmup/compile
-    t0 = time.perf_counter()
-    eng.generate_fast(prompt, max_new_tokens=args.gen_tokens)
-    dt = time.perf_counter() - t0
-    iters = max(eng.num_large_model_steps, 1)
-    t_iter = dt / iters
+
+    def timed_run(n):
+        t0 = time.perf_counter()
+        eng.generate_fast(prompt, max_new_tokens=n)
+        return time.perf_counter() - t0, max(eng.num_large_model_steps, 1)
+
+    # Differenced measurement: (long run - short run) / (iteration delta)
+    # cancels the per-call constants — prefill forward and the ~28 ms
+    # host<->device tunnel round-trip of the final state fetch — which
+    # otherwise inflate per-iteration time ~20% at this generation length.
+    # min over pairs rejects upward noise (tunnel timing varies run to run).
+    pairs = []
+    for _ in range(2):
+        dt_s, it_s = timed_run(4)
+        dt_l, it_l = timed_run(args.gen_tokens)
+        if it_l > it_s:
+            pairs.append((dt_l - dt_s) / (it_l - it_s))
+    iters = it_l
+    t_iter = min(pairs) if pairs else dt_l / it_l
     log(f"spec loop: {iters} iterations, {t_iter * 1e3:.2f} ms/iteration "
-        f"(measured emitted/step with random weights: "
+        f"(differenced; measured emitted/step with random weights: "
         f"{eng.num_decoding_steps / iters:.2f})")
 
     per_token = t_iter / e_acc

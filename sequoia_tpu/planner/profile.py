@@ -65,7 +65,10 @@ def time_forward_widths(
             return (kv, acc + logits[0, 0])
 
         kv, acc = jax.lax.fori_loop(0, reps, body, (kv, jnp.asarray(0.0, jnp.float32)))
-        return acc
+        # kv is returned so the donated input buffer has an output to alias
+        # with — otherwise XLA drops the donation ("donated buffers were not
+        # usable" warnings) and the timed loop pays a cache copy.
+        return acc, kv
 
     timed = jax.jit(reps_loop, donate_argnames=("kv",))
     out = []
@@ -81,11 +84,11 @@ def time_forward_widths(
         # same-input execution result caching in the runtime.
         for i in range(warmup):
             kv = KVCache.init(cfg, max_length, dtype)
-            float(timed(params, tokens + (2 + i), pos, kv, mask))
+            float(timed(params, tokens + (2 + i), pos, kv, mask)[0])
         kv = KVCache.init(cfg, max_length, dtype)
         jax.block_until_ready(kv.k)
         t0 = time.perf_counter()
-        float(timed(params, tokens, pos, kv, mask))
+        float(timed(params, tokens, pos, kv, mask)[0])
         out.append((time.perf_counter() - t0) / reps)
     return out
 

@@ -19,6 +19,20 @@ Grid: (N tiles, K tiles), K innermost; f32 accumulator tile in VMEM scratch,
 scaled and written out on the last K step. Replaces the role the reference
 delegated to CUDA via torch (`Engine/offload_engine.py` streams fp16 over
 PCIe instead; SURVEY.md §2.4 maps that path to quantization + sharding).
+
+Measured routing conclusions (v5e, llama-2-7b width-64 verify forward,
+within-process A/B — see scripts/probe_*_inmodel.py):
+- int8: XLA convert+dot = 11.0 ms/fwd (~620 GB/s eff); this kernel = 21.5.
+  The gap is NOT the VPU dequant (a pure int8xint8->int32 MXU kernel is
+  still ~20 ms) and NOT scan weight-slice copies (fully unrolled layers get
+  slower, 43.7 ms) and NOT block shape (512/1024/2048 within 4%). XLA's dot
+  emitter simply pipelines the weight stream better on this generation, so
+  int8 routes to XLA (`qtensor._resolve_impl`).
+- int4: this kernel = 16.2 ms/fwd; XLA alternatives lose badly (manual
+  shift-unpack breaks fusion and rematerializes bf16 weights, ~10-21x; S4
+  `bitcast_convert_type` + convert+dot = 20.0 ms). So int4 routes here.
+  int4's role is capacity (70B under TP), not single-chip 7B speed, where
+  int8/XLA wins outright.
 """
 
 from __future__ import annotations

@@ -156,7 +156,11 @@ class SpecEngine:
     # ------------------------------------------------------------------
 
     def _fresh_state(self, key: jax.Array, kv_dtype) -> DecodeState:
-        draft_kv = KVCache.init(self.draft_cfg, self.max_length, kv_dtype)
+        # Each cache takes ITS model's compute dtype (the embed dtype, which
+        # sets the activation dtype k/v are produced in) — a f32 draft paired
+        # with a bf16/quantized target must not inherit the target's dtype.
+        draft_kv = KVCache.init(
+            self.draft_cfg, self.max_length, self.draft_params.embed.dtype)
         target_kv = KVCache.init(self.target_cfg, self.max_length, kv_dtype)
         if self.mesh is not None:
             from ..parallel.sharding import shard_kv

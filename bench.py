@@ -39,18 +39,36 @@ def log(*a):
 
 
 def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
-                   gm, prompt, e_acc, per_token):
+                   gm, prompt, e_acc, per_token, p, draft_time):
     """Batched serving throughput: B independent requests each running the
     full fused iteration under vmap (pure on-device loop, value-fetch sync,
-    committed-length clamped so slots keep iterating — like the ablation)."""
+    committed-length clamped so slots keep iterating — like the ablation).
+
+    The tree is RE-PLANNED for the batch: at batch B the target forward is
+    compute-bound, not weight-bound, so the latency curve steepens with
+    budget and the optimal tree is smaller — the Sequoia hardware-aware
+    principle applied along the batch axis (new; the reference is
+    single-request and its planner only ever sees the B=1 curve)."""
     import jax
     import jax.numpy as jnp
 
     from sequoia_tpu.engine.batched import BatchedSpecEngine
+    from sequoia_tpu.planner.dp import expected_accepted, plan
+    from sequoia_tpu.planner.profile import time_forward_widths
 
     B = args.batch
+    bbudgets = (1, 2, 4, 8, 16, 32, 64)
+    btt = time_forward_widths(
+        target_params, target_cfg, bbudgets, max_length=args.max_length,
+        kv_len=args.prefix_len, reps=20, batch=B)
+    bgm, binfo = plan(p, list(bbudgets), btt, draft_time,
+                      max_depth=args.max_depth)
+    e_acc = expected_accepted(bgm, p)
+    log(f"batched target_time(ms) at B={B}: {[round(t*1e3, 2) for t in btt]}")
+    log(f"batch-aware tree: size={bgm.size} depth={int(bgm.depth.max())} "
+        f"E[accept]={e_acc:.3f} (B=1 tree was size={gm.size})")
     beng = BatchedSpecEngine(
-        draft_params, draft_cfg, target_params, target_cfg, gm,
+        draft_params, draft_cfg, target_params, target_cfg, bgm,
         algorithm="sequoia", max_length=args.max_length,
         temperature=0.6, top_p=0.9, prefill_chunk=128, batch_size=B,
     )
@@ -73,14 +91,59 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     float(out.tokens.astype(jnp.float32).sum())
     bt_iter = (time.perf_counter() - t0) / R
     b_tok_s = B * e_acc / bt_iter
-    log(f"batched serving (B={B}): {bt_iter * 1e3:.2f} ms/iteration -> "
-        f"{b_tok_s:.0f} tok/s/chip "
-        f"({b_tok_s * per_token:.2f}x single-request throughput)")
+
+    # Honest comparison point: BATCHED autoregressive decoding amortizes the
+    # weight stream exactly like batched speculation does (speculation trades
+    # compute for bandwidth, so its advantage shrinks as batch grows — at
+    # some B the batched AR baseline wins and serving should switch to it).
+    from sequoia_tpu.core.model import forward as _fwd
+    from sequoia_tpu.kvcache.cache import KVCache as _KV
+    from sequoia_tpu.ops import masks as _masks
+
+    kv_len = args.prefix_len
+    btoks = jnp.zeros((B, 1), jnp.int32)
+    bpos = jnp.full((B, 1), kv_len, jnp.int32)
+    amask = _masks.causal_mask(1, args.max_length, kv_len)
+
+    def ar_step(tp, tokens, pos, kv):
+        return _fwd(tp, target_cfg, tokens, pos, kv, kv_len, amask)
+
+    var_step = jax.vmap(ar_step, in_axes=(None, 0, 0, 0))
+
+    # params must be a jit ARGUMENT — a closure would capture the multi-GB
+    # weights as compile constants (rejected by the remote-compile tunnel)
+    @jax.jit
+    def arloop(tp, bt, bp, kv):
+        def body(i, carry):
+            bt, kv, acc = carry
+            logits, kv = var_step(tp, bt + (i % 2), bp, kv)
+            return (bt, kv, acc + logits[0, 0, 0])
+
+        _, kv, acc = jax.lax.fori_loop(
+            0, R, body, (bt, kv, jnp.asarray(0.0, jnp.float32)))
+        return acc
+
+    bkv = jax.vmap(lambda _: _KV.init(target_cfg, args.max_length,
+                                      jnp.bfloat16))(jnp.arange(B))
+    float(arloop(target_params, btoks, bpos, bkv))
+    t0 = time.perf_counter()
+    float(arloop(target_params, btoks, bpos, bkv))
+    ar_iter = (time.perf_counter() - t0) / R
+    ar_tok_s = B / ar_iter
+
+    log(f"batched serving (B={B}): spec {bt_iter * 1e3:.2f} ms/iteration -> "
+        f"{b_tok_s:.0f} tok/s/chip ({b_tok_s * per_token:.2f}x single-request"
+        f"); batched AR {ar_iter * 1e3:.2f} ms/step -> {ar_tok_s:.0f} tok/s "
+        f"-> spec {'wins' if b_tok_s > ar_tok_s else 'loses'} at this batch")
     return {
         "batch": B,
+        "tree_size": bgm.size,
+        "expected_accepted_per_step": round(float(e_acc), 3),
         "ms_per_iteration": round(bt_iter * 1e3, 3),
         "tokens_per_sec_chip": round(b_tok_s, 1),
         "vs_single_request": round(b_tok_s * per_token, 2),
+        "batched_ar_tokens_per_sec": round(ar_tok_s, 1),
+        "vs_batched_ar": round(b_tok_s / ar_tok_s, 2),
     }
 
 
@@ -119,9 +182,17 @@ def main() -> None:
                     help="emit a per-hardware growmap library (budget sweep, "
                          "the A100_growmaps/-S4..-S512 artifact analog); "
                          "'' disables")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend for smoke runs. Setting "
+                         "JAX_PLATFORMS in the environment is NOT enough: "
+                         "sitecustomize pre-imports jax under the TPU tunnel, "
+                         "so a 'CPU' run would silently execute on the TPU")
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from sequoia_tpu.core.config import get_config
@@ -272,7 +343,7 @@ def main() -> None:
         try:
             batched = _bench_batched(
                 args, draft_params, draft_cfg, target_params, target_cfg, gm,
-                prompt, e_acc, per_token)
+                prompt, e_acc, per_token, p, draft_time)
         except Exception as e:  # e.g. params + B KV sets exceed HBM (13B/B=4)
             log(f"batched section skipped: {type(e).__name__}: {str(e)[:160]}")
 

@@ -44,6 +44,7 @@ def time_forward_widths(
     dtype=jnp.bfloat16,
     warmup: int = 1,
     reps: int = 50,
+    batch: int = 1,
 ) -> List[float]:
     """Wall-clock seconds per forward at each query width (decode position
     `kv_len`), the planner's `target_time` curve. One compile per width
@@ -53,16 +54,26 @@ def time_forward_widths(
     how the engine actually executes (its decode loop is fully on-device) —
     timing individual dispatches would fold host/tunnel round-trip overhead
     (~2 ms on remote-TPU setups) into every step and bias the planner toward
-    too-shallow trees (small-draft costs get overestimated ~10x)."""
+    too-shallow trees (small-draft costs get overestimated ~10x).
+
+    `batch > 1` times the VMAPPED forward (batch independent requests, each
+    its own KV — the batched engine's execution shape). This is how the
+    planner becomes batch-aware: at batch the target is compute-bound rather
+    than weight-bound, the latency curve steepens with budget, and the DP
+    correctly picks a smaller tree."""
+
+    def one_step(params, tokens, pos, kv, mask):
+        return forward(params, cfg, tokens, pos, kv, kv_len, mask)
+
+    if batch > 1:
+        one_step = jax.vmap(one_step, in_axes=(None, 0, 0, 0, None))
 
     def reps_loop(params, tokens, pos, kv, mask):
         def body(i, carry):
             kv, acc = carry
             # Data-depend on i so XLA cannot hoist the loop-invariant body.
-            logits, kv = forward(
-                params, cfg, tokens + (i % 2), pos, kv, kv_len, mask
-            )
-            return (kv, acc + logits[0, 0])
+            logits, kv = one_step(params, tokens + (i % 2), pos, kv, mask)
+            return (kv, acc + logits.reshape(-1)[0])
 
         kv, acc = jax.lax.fori_loop(0, reps, body, (kv, jnp.asarray(0.0, jnp.float32)))
         # kv is returned so the donated input buffer has an output to alias
@@ -71,10 +82,21 @@ def time_forward_widths(
         return acc, kv
 
     timed = jax.jit(reps_loop, donate_argnames=("kv",))
+
+    def fresh_kv():
+        if batch > 1:
+            return jax.vmap(
+                lambda _: KVCache.init(cfg, max_length, dtype)
+            )(jnp.arange(batch))
+        return KVCache.init(cfg, max_length, dtype)
+
     out = []
     for w in widths:
         tokens = jnp.zeros((w,), jnp.int32)
         pos = kv_len + jnp.arange(w, dtype=jnp.int32)
+        if batch > 1:
+            tokens = jnp.broadcast_to(tokens, (batch, w))
+            pos = jnp.broadcast_to(pos, (batch, w))
         mask = masks.causal_mask(w, max_length, kv_len)
         # `float(...)` (device_get) rather than block_until_ready: on
         # remote-TPU tunnels block_until_ready can return before execution
@@ -83,9 +105,8 @@ def time_forward_widths(
         # warming up with a *different* token value defeats any
         # same-input execution result caching in the runtime.
         for i in range(warmup):
-            kv = KVCache.init(cfg, max_length, dtype)
-            float(timed(params, tokens + (2 + i), pos, kv, mask)[0])
-        kv = KVCache.init(cfg, max_length, dtype)
+            float(timed(params, tokens + (2 + i), pos, fresh_kv(), mask)[0])
+        kv = fresh_kv()
         jax.block_until_ready(kv.k)
         t0 = time.perf_counter()
         float(timed(params, tokens, pos, kv, mask)[0])

@@ -44,11 +44,19 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     full fused iteration under vmap (pure on-device loop, value-fetch sync,
     committed-length clamped so slots keep iterating — like the ablation).
 
-    The tree is RE-PLANNED for the batch: at batch B the target forward is
-    compute-bound, not weight-bound, so the latency curve steepens with
-    budget and the optimal tree is smaller — the Sequoia hardware-aware
-    principle applied along the batch axis (new; the reference is
-    single-request and its planner only ever sees the B=1 curve)."""
+    The tree is RE-PLANNED for the batch with per-batch MEASURED costs: at
+    batch B both curves change shape — the target forward turns compute-
+    bound (latency steepens with budget) AND the draft per-level cost is
+    ~10x the B=1 calibration (the vmapped 68m forward streams B KV sets).
+    Feeding the B=1 draft cost to the DP makes it pick trees that are far
+    too deep (measured: a depth-13 tree at 0.1 ms assumed/level ran 37 ms
+    vs a depth-6 tree at 17.7 ms for nearly the same E[accept]). So:
+    measure the batched draft level cost, plan, then measure the chosen
+    tree's true phase split (grow/target/full), fold the observed fixed
+    overhead and per-level cost back in, re-plan, and keep whichever
+    candidate MEASURES faster — the Sequoia profile->plan->run loop applied
+    along the batch axis (new; the reference is single-request and its
+    planner only ever sees the B=1 curve)."""
     import jax
     import jax.numpy as jnp
 
@@ -57,39 +65,80 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     from sequoia_tpu.planner.profile import time_forward_widths
 
     B = args.batch
+    R = 30
     bbudgets = (1, 2, 4, 8, 16, 32, 64)
     btt = time_forward_widths(
         target_params, target_cfg, bbudgets, max_length=args.max_length,
         kv_len=args.prefix_len, reps=20, batch=B)
-    bgm, binfo = plan(p, list(bbudgets), btt, draft_time,
-                      max_depth=args.max_depth)
+    # Batched draft per-level cost, measured the same way (width 4 ~= the
+    # typical mid-tree level width).
+    bdt = time_forward_widths(
+        draft_params, draft_cfg, (4,), max_length=args.max_length,
+        kv_len=args.prefix_len, reps=40, batch=B)[0]
+    log(f"batched target_time(ms) at B={B}: {[round(t*1e3, 2) for t in btt]}"
+        f"; draft level {bdt*1e3:.2f} ms (B=1 calib was {draft_time*1e3:.2f})")
+
+    def measure(bgm):
+        """Build the engine for this tree and time full / grow / target."""
+        beng = BatchedSpecEngine(
+            draft_params, draft_cfg, target_params, target_cfg, bgm,
+            algorithm="sequoia", max_length=args.max_length,
+            temperature=0.6, top_p=0.9, prefill_chunk=128, batch_size=B,
+        )
+        bstate = beng.prefill_batch([prompt] * B)
+        vit = jax.vmap(beng._iterate_impl, in_axes=(None, None, 0))
+        vgrow = jax.vmap(beng._grow_impl, in_axes=(None, 0))
+        vtgt = jax.vmap(beng._target_impl, in_axes=(None, 0, 0))
+        tok_tree = jax.jit(lambda dp, s: vgrow(dp, s)[0])(draft_params, bstate)
+
+        def timed(f, *fargs):
+            @jax.jit
+            def loop(*a):
+                def body(i, acc):
+                    out = f(i, *a)
+                    return acc + jax.tree.leaves(out)[0].reshape(-1)[0].astype(jnp.float32)
+                return jax.lax.fori_loop(0, R, body, jnp.float32(0))
+            float(loop(*fargs))
+            t0 = time.perf_counter()
+            float(loop(*fargs))
+            return (time.perf_counter() - t0) / R
+
+        pert = lambda s, i: s._replace(tokens=s.tokens + (i % 2))
+        t_full = timed(lambda i, dp, tp, s: vit(dp, tp, pert(s, i))[0].tokens,
+                       draft_params, target_params, bstate)
+        t_grow = timed(lambda i, dp, s: vgrow(dp, pert(s, i))[0],
+                       draft_params, bstate)
+        t_tgt = timed(lambda i, tp, s, tt: vtgt(tp, s, tt + (i % 2))[0],
+                      target_params, bstate, tok_tree)
+        return t_full, t_grow, t_tgt
+
+    # Pass 1: plan with the measured batched draft level cost.
+    bgm, _ = plan(p, list(bbudgets), btt, bdt, max_depth=args.max_depth)
+    t_full, t_grow, t_tgt = measure(bgm)
+    log(f"pass1 tree size={bgm.size} depth={int(bgm.depth.max())}: "
+        f"full {t_full*1e3:.2f} grow {t_grow*1e3:.2f} tgt {t_tgt*1e3:.2f} ms")
+
+    # Pass 2: re-plan with the OBSERVED per-level cost and the fixed
+    # per-iteration overhead (finalize/accept/compact) folded into the
+    # target curve, then keep whichever tree measures faster.
+    levels = max(1, bgm.num_grow_steps)
+    dt2 = t_grow / levels
+    fixed = max(0.0, t_full - t_grow - t_tgt)
+    bgm2, _ = plan(p, list(bbudgets), [t + fixed for t in btt], dt2,
+                   max_depth=args.max_depth)
+    if (bgm2.size, int(bgm2.depth.max())) != (bgm.size, int(bgm.depth.max())):
+        t_full2, t_grow2, t_tgt2 = measure(bgm2)
+        log(f"pass2 tree size={bgm2.size} depth={int(bgm2.depth.max())}: "
+            f"full {t_full2*1e3:.2f} grow {t_grow2*1e3:.2f} "
+            f"tgt {t_tgt2*1e3:.2f} ms")
+        tput1 = B * expected_accepted(bgm, p) / t_full
+        tput2 = B * expected_accepted(bgm2, p) / t_full2
+        if tput2 > tput1:
+            bgm, t_full = bgm2, t_full2
     e_acc = expected_accepted(bgm, p)
-    log(f"batched target_time(ms) at B={B}: {[round(t*1e3, 2) for t in btt]}")
+    bt_iter = t_full
     log(f"batch-aware tree: size={bgm.size} depth={int(bgm.depth.max())} "
         f"E[accept]={e_acc:.3f} (B=1 tree was size={gm.size})")
-    beng = BatchedSpecEngine(
-        draft_params, draft_cfg, target_params, target_cfg, bgm,
-        algorithm="sequoia", max_length=args.max_length,
-        temperature=0.6, top_p=0.9, prefill_chunk=128, batch_size=B,
-    )
-    bstate = beng.prefill_batch([prompt] * B)
-    vit = jax.vmap(beng._iterate_impl, in_axes=(None, None, 0))
-    R = 30
-
-    @jax.jit
-    def bloop(dp, tp, st):
-        def body(i, s):
-            s2, _ = vit(dp, tp, s)
-            return s2._replace(gtl=st.gtl, terminal=st.terminal)
-
-        return jax.lax.fori_loop(0, R, body, st)
-
-    out = bloop(draft_params, target_params, bstate)
-    float(out.tokens.astype(jnp.float32).sum())  # value-fetch sync
-    t0 = time.perf_counter()
-    out = bloop(draft_params, target_params, bstate)
-    float(out.tokens.astype(jnp.float32).sum())
-    bt_iter = (time.perf_counter() - t0) / R
     b_tok_s = B * e_acc / bt_iter
 
     # Honest comparison point: BATCHED autoregressive decoding amortizes the

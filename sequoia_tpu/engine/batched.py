@@ -37,6 +37,8 @@ class BatchedSpecEngine(SpecEngine):
             donate_argnums=(2,),
         )
         self._insert_slot_fn = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
+        self._bgenerate_loop = jax.jit(
+            self._bgenerate_loop_impl, donate_argnums=(2,))
 
     @staticmethod
     def _insert_slot_impl(bstate: DecodeState, sstate: DecodeState, slot) -> DecodeState:
@@ -103,6 +105,83 @@ class BatchedSpecEngine(SpecEngine):
         # while stragglers finished; only the first max_new_tokens count.
         return [
             tokens[b, : plens[b] + min(produced[b], max_new_tokens)] for b in range(B)
+        ]
+
+    # ------------------------------------------------------------------
+    # Device-side batched decode loop (one host sync per generate call)
+    # ------------------------------------------------------------------
+
+    def _slot_finished(self, state: DecodeState, produced, max_new):
+        M = self.max_length
+        return (
+            state.terminal
+            | (produced >= max_new)
+            | (state.gtl - 1 + self.tree_size > M)
+            | (state.gtl + self.max_depth + 1 > M)
+        )
+
+    def _bgenerate_loop_impl(self, dparams, tparams, bstate: DecodeState, max_new):
+        """Run the vmapped iteration in a `lax.while_loop` until every slot is
+        finished. The batched analog of `SpecEngine._generate_loop_impl`:
+        `generate_batch`'s host loop pays one tunnel round-trip per iteration
+        (~19 ms measured on v5e-over-tunnel vs a 17.7 ms on-device iteration
+        at B=8 — the sync would halve throughput).
+
+        Finished slots keep riding the vmapped iteration (there is no
+        per-slot early exit under vmap) but their visible state — committed
+        tokens, committed length, terminal flag — is frozen with a cheap
+        `where` merge ([B] scalars + the [B, M] i32 token buffer; the KV
+        churn on dead slots is unobservable because every tree write lands
+        at slots >= the frozen gtl). Freezing gtl also prevents a dead slot
+        from running off the end of its buffers while stragglers finish."""
+
+        def cond(carry):
+            _, _, done, _ = carry
+            return ~jnp.all(done)
+
+        def body(carry):
+            state, produced, done, steps = carry
+            nstate, stats = jax.vmap(
+                self._iterate_impl, in_axes=(None, None, 0)
+            )(dparams, tparams, state)
+            nstate = nstate._replace(
+                tokens=jnp.where(done[:, None], state.tokens, nstate.tokens),
+                gtl=jnp.where(done, state.gtl, nstate.gtl),
+                terminal=jnp.where(done, state.terminal, nstate.terminal),
+            )
+            produced = produced + jnp.where(done, 0, stats.emitted)
+            done = done | self._slot_finished(nstate, produced, max_new)
+            return (nstate, produced, done, steps + 1)
+
+        produced0 = jnp.zeros((self.batch_size,), jnp.int32)
+        done0 = self._slot_finished(bstate, produced0, max_new)
+        init = (bstate, produced0, done0, jnp.asarray(0, jnp.int32))
+        state, produced, _, steps = jax.lax.while_loop(cond, body, init)
+        return state, produced, steps
+
+    def generate_batch_fast(
+        self,
+        prompts: Sequence[np.ndarray],
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Like `generate_batch`, but the whole batched decode loop runs on
+        device; the host syncs once at the end."""
+        B = self.batch_size
+        state = self.prefill_batch(prompts, seed=seed)
+        plens = [int(len(np.asarray(p).reshape(-1))) for p in prompts]
+        state, produced, steps = self._bgenerate_loop(
+            self.draft_params, self.target_params, state,
+            jnp.asarray(max_new_tokens, jnp.int32),
+        )
+        produced = np.asarray(produced)
+        self.num_large_model_steps = int(steps)
+        self.num_decoding_steps = int(
+            np.minimum(produced, max_new_tokens).sum())
+        tokens = np.asarray(jax.device_get(state.tokens))
+        return [
+            tokens[b, : plens[b] + min(int(produced[b]), max_new_tokens)]
+            for b in range(B)
         ]
 
     def serve(

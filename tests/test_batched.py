@@ -50,6 +50,35 @@ def test_batch_matches_single_greedy(models):
         np.testing.assert_array_equal(e[:n], g[:n])
 
 
+def test_batch_fast_matches_host_loop(models):
+    """Device-side batched while_loop == host-driven batched loop (greedy is
+    fully deterministic, so token-exact equality is required)."""
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    kw = dict(algorithm="greedy", max_length=96, prefill_chunk=16)
+    prompts = PROMPTS[:3]
+    host = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=3, **kw)
+    expected = host.generate_batch(prompts, max_new_tokens=20, seed=0)
+    fast = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=3, **kw)
+    got = fast.generate_batch_fast(prompts, max_new_tokens=20, seed=0)
+    assert fast.num_large_model_steps == host.num_large_model_steps
+    assert fast.num_decoding_steps == host.num_decoding_steps
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
+
+
+def test_batch_fast_stochastic_runs(models):
+    cfg, draft, target = models
+    gm = uniform_tree(2, 3)
+    eng = BatchedSpecEngine(
+        draft, cfg, target, cfg, gm, batch_size=2, algorithm="sequoia",
+        max_length=96, temperature=0.8, top_p=0.9, prefill_chunk=16,
+    )
+    outs = eng.generate_batch_fast(PROMPTS[:2], max_new_tokens=16, seed=0)
+    assert all(len(o) > len(p) for o, p in zip(outs, PROMPTS[:2]))
+    assert eng.num_large_model_steps > 0
+
+
 def test_batch_stochastic_runs(models):
     cfg, draft, target = models
     gm = uniform_tree(2, 3)

@@ -92,16 +92,24 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
         tok_tree = jax.jit(lambda dp, s: vgrow(dp, s)[0])(draft_params, bstate)
 
         def timed(f, *fargs):
+            # Differenced: a single dispatch costs ~24 ms over the tunnel,
+            # so total/reps would carry a ~24/R ms constant bias.
             @jax.jit
-            def loop(*a):
+            def loop(n, *a):
                 def body(i, acc):
                     out = f(i, *a)
                     return acc + jax.tree.leaves(out)[0].reshape(-1)[0].astype(jnp.float32)
-                return jax.lax.fori_loop(0, R, body, jnp.float32(0))
-            float(loop(*fargs))
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+            r1 = max(2, R // 4)
+            n1, n2 = jnp.asarray(r1, jnp.int32), jnp.asarray(R, jnp.int32)
+            float(loop(n1, *fargs))
             t0 = time.perf_counter()
-            float(loop(*fargs))
-            return (time.perf_counter() - t0) / R
+            float(loop(n1, *fargs))
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(loop(n2, *fargs))
+            t_long = time.perf_counter() - t0
+            return (t_long - t_short) / (R - r1)
 
         pert = lambda s, i: s._replace(tokens=s.tokens + (i % 2))
         t_full = timed(lambda i, dp, tp, s: vit(dp, tp, pert(s, i))[0].tokens,

@@ -17,6 +17,7 @@ iteration itself.
 
 from __future__ import annotations
 
+import functools
 from typing import Iterable, List, Optional, Sequence
 
 import jax
@@ -39,6 +40,12 @@ class BatchedSpecEngine(SpecEngine):
         self._insert_slot_fn = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
         self._bgenerate_loop = jax.jit(
             self._bgenerate_loop_impl, donate_argnums=(2,))
+        self._bserve_until_any = jax.jit(
+            functools.partial(self._bserve_loop_impl, until_all=False),
+            donate_argnums=(2,))
+        self._bserve_until_all = jax.jit(
+            functools.partial(self._bserve_loop_impl, until_all=True),
+            donate_argnums=(2,))
 
     @staticmethod
     def _insert_slot_impl(bstate: DecodeState, sstate: DecodeState, slot) -> DecodeState:
@@ -135,29 +142,47 @@ class BatchedSpecEngine(SpecEngine):
         at slots >= the frozen gtl). Freezing gtl also prevents a dead slot
         from running off the end of its buffers while stragglers finish."""
 
+        produced0 = jnp.zeros((self.batch_size,), jnp.int32)
+        done0 = self._slot_finished(bstate, produced0, max_new)
+        active = jnp.ones((self.batch_size,), bool)
+        state, produced, _, steps = self._bserve_loop_impl(
+            dparams, tparams, bstate, produced0, done0, active, max_new,
+            until_all=True,
+        )
+        return state, produced, steps
+
+    def _bserve_loop_impl(self, dparams, tparams, bstate: DecodeState,
+                          produced, done, active, max_new, *, until_all: bool):
+        """Shared batched device loop. `until_all=True` runs until every
+        active slot is finished (generate); `until_all=False` returns as
+        soon as ANY active slot finishes (continuous batching: the host
+        syncs exactly when a refill decision is needed, not per iteration).
+        Frozen slots (finished, or inactive/idle) ride the vmapped iteration
+        with their visible state held fixed (see `_bgenerate_loop_impl`)."""
+
         def cond(carry):
             _, _, done, _ = carry
-            return ~jnp.all(done)
+            if until_all:
+                return ~jnp.all(done | ~active)
+            return ~jnp.any(done & active)
 
         def body(carry):
             state, produced, done, steps = carry
+            frozen = done | ~active
             nstate, stats = jax.vmap(
                 self._iterate_impl, in_axes=(None, None, 0)
             )(dparams, tparams, state)
             nstate = nstate._replace(
-                tokens=jnp.where(done[:, None], state.tokens, nstate.tokens),
-                gtl=jnp.where(done, state.gtl, nstate.gtl),
-                terminal=jnp.where(done, state.terminal, nstate.terminal),
+                tokens=jnp.where(frozen[:, None], state.tokens, nstate.tokens),
+                gtl=jnp.where(frozen, state.gtl, nstate.gtl),
+                terminal=jnp.where(frozen, state.terminal, nstate.terminal),
             )
-            produced = produced + jnp.where(done, 0, stats.emitted)
+            produced = produced + jnp.where(frozen, 0, stats.emitted)
             done = done | self._slot_finished(nstate, produced, max_new)
             return (nstate, produced, done, steps + 1)
 
-        produced0 = jnp.zeros((self.batch_size,), jnp.int32)
-        done0 = self._slot_finished(bstate, produced0, max_new)
-        init = (bstate, produced0, done0, jnp.asarray(0, jnp.int32))
-        state, produced, _, steps = jax.lax.while_loop(cond, body, init)
-        return state, produced, steps
+        init = (bstate, produced, done, jnp.asarray(0, jnp.int32))
+        return jax.lax.while_loop(cond, body, init)
 
     def generate_batch_fast(
         self,
@@ -183,6 +208,72 @@ class BatchedSpecEngine(SpecEngine):
             tokens[b, : plens[b] + min(int(produced[b]), max_new_tokens)]
             for b in range(B)
         ]
+
+    def serve_fast(
+        self,
+        prompts: Iterable[np.ndarray],
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Continuous batching with the decode loop on device: the host is
+        re-entered only when a slot finishes (one `lax.while_loop` dispatch
+        per completed request instead of one tunnel round-trip per
+        iteration — ~19 ms/iteration saved on remote-TPU setups). Returns
+        outputs in input order, like `serve`."""
+        queue = list(enumerate(np.asarray(p, np.int32).reshape(-1) for p in prompts))
+        n_total = len(queue)
+        B = self.batch_size
+        results: List[Optional[np.ndarray]] = [None] * n_total
+
+        slot_req = [-1] * B
+        slot_plen = [0] * B
+        init_states = []
+        for s in range(B):
+            if queue:
+                rid, prompt = queue.pop(0)
+                slot_req[s] = rid
+                slot_plen[s] = len(prompt)
+                init_states.append(self.prefill(prompt, seed=seed + rid))
+            else:
+                init_states.append(self.prefill(np.zeros(1, np.int32), seed=seed))
+        state = self._shard(jax.tree.map(lambda *xs: jnp.stack(xs), *init_states))
+        produced = jnp.zeros((B,), jnp.int32)
+        done = jnp.zeros((B,), bool)
+        active_np = np.asarray([r >= 0 for r in slot_req])
+        max_new = jnp.asarray(max_new_tokens, jnp.int32)
+
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+        while any(r >= 0 for r in slot_req):
+            drain = not queue  # no refills possible -> run to full completion
+            loop = self._bserve_until_all if drain else self._bserve_until_any
+            state, produced, done, steps = loop(
+                self.draft_params, self.target_params, state, produced, done,
+                jnp.asarray(active_np), max_new,
+            )
+            self.num_large_model_steps += int(steps)
+            done_np = np.asarray(done)
+            produced_np = np.asarray(produced)
+            tokens_host = np.asarray(jax.device_get(state.tokens))
+            for s in range(B):
+                rid = slot_req[s]
+                if rid < 0 or not done_np[s]:
+                    continue
+                prod = min(int(produced_np[s]), max_new_tokens)
+                self.num_decoding_steps += prod
+                results[rid] = tokens_host[s, : slot_plen[s] + prod]
+                if queue:
+                    nrid, nprompt = queue.pop(0)
+                    slot_req[s] = nrid
+                    slot_plen[s] = len(nprompt)
+                    state = self.insert_slot(state, nprompt, s, seed=seed + nrid)
+                    produced = produced.at[s].set(0)
+                    done = done.at[s].set(False)
+                else:
+                    slot_req[s] = -1
+                    active_np[s] = False
+        assert all(r is not None for r in results)
+        return results
 
     def serve(
         self,

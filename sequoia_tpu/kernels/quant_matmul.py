@@ -33,6 +33,13 @@ within-process A/B — see scripts/probe_*_inmodel.py):
   `bitcast_convert_type` + convert+dot = 20.0 ms). So int4 routes here.
   int4's role is capacity (70B under TP), not single-chip 7B speed, where
   int8/XLA wins outright.
+- Per-matmul (differenced timing — a single dispatch costs ~24 ms over the
+  remote tunnel, so total/reps at small rep counts is meaningless;
+  scripts/probe_qmm_differenced.py): this kernel streams ~270-420 GB/s for
+  int4 vs ~390-500 GB/s for its int8 variant at HALF the bytes — the
+  remaining gap is per-byte (DMA pipeline), not the nibble unpack: a
+  f32-floor unpack variant (`unpack="float"`) matches the int32-shift one
+  within noise at R<=64 and wins 15-30% at R>=128 (auto-selected).
 """
 
 from __future__ import annotations
@@ -59,25 +66,36 @@ def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles: int):
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
-def _kernel_int4(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles: int):
+def _kernel_int4(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, acc_ref, *,
+                 k_tiles: int, unpack: str):
     @pl.when(pl.program_id(1) == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    packed = q_ref[...].astype(jnp.int32)           # [Kb, Nb]
-    # Sign-extended nibble extraction via arithmetic shifts — two VPU ops per
-    # nibble instead of mask+compare+select (Mosaic lacks int8 shifts, so the
-    # shifts run in int32).
-    lo = (packed << 28) >> 28
-    hi = (packed << 24) >> 28
     x_lo = x_lo_ref[...]                            # [R, Kb]
     x_hi = x_hi_ref[...]
-    acc_ref[...] += jax.lax.dot(
-        x_lo, lo.astype(x_lo.dtype), preferred_element_type=jnp.float32
-    )
-    acc_ref[...] += jax.lax.dot(
-        x_hi, hi.astype(x_hi.dtype), preferred_element_type=jnp.float32
-    )
+    if unpack == "float":
+        # Float-domain nibble extraction: the int32 shift path below costs
+        # more than the HBM stream it saves (measured: int4 matmuls took as
+        # LONG as int8 at half the bytes — the int8->int32 widening and
+        # 32-bit shifts dominate). Everything here is exact in bf16:
+        # integers |v| <= 256 are exact (8 significand bits), /16 is an
+        # exponent shift, and h/l stay integer-valued.
+        # With f = 16*h + u (u = unsigned low bits in [0,16)), the signed
+        # low nibble is u - 16*[u >= 8] = f - 16*floor((f+8)/16). All in
+        # f32: v5e's VPU has no bf16 ALU (floor/compare on bf16 fail to
+        # lower), and f32 floor/fma are single-slot ops.
+        f = q_ref[...].astype(jnp.float32)          # [Kb, Nb] signed byte value
+        h = jnp.floor(f * (1.0 / 16.0)).astype(x_hi.dtype)   # signed high nibble
+        l = (f - 16.0 * jnp.floor((f + 8.0) * (1.0 / 16.0))).astype(x_lo.dtype)
+    else:  # "shift"
+        packed = q_ref[...].astype(jnp.int32)       # [Kb, Nb]
+        # Sign-extended nibble extraction via arithmetic shifts (Mosaic
+        # lacks int8 shifts, so the shifts run in int32).
+        l = ((packed << 28) >> 28).astype(x_lo.dtype)
+        h = ((packed << 24) >> 28).astype(x_hi.dtype)
+    acc_ref[...] += jax.lax.dot(x_lo, l, preferred_element_type=jnp.float32)
+    acc_ref[...] += jax.lax.dot(x_hi, h, preferred_element_type=jnp.float32)
 
     @pl.when(pl.program_id(1) == k_tiles - 1)
     def _done():
@@ -112,7 +130,10 @@ def _pick_blocks(R: int, Kq: int, N: int, want_n: int, want_kq: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bits", "interpret", "block_n", "block_k", "out_dtype")
+    jax.jit,
+    static_argnames=(
+        "bits", "interpret", "block_n", "block_k", "out_dtype", "unpack"
+    ),
 )
 def quant_matmul(
     x: jax.Array,          # [R, K] float (bf16/f32)
@@ -124,10 +145,19 @@ def quant_matmul(
     block_n: int = 1024,
     block_k: int = 4096,
     out_dtype=None,
+    unpack: str = "auto",
 ) -> jax.Array:
     """Returns `x @ dequant(q, scale)` as `out_dtype` (default x.dtype),
-    f32 accumulation."""
+    f32 accumulation.
+
+    `unpack` (int4 only): "shift" = int32 arithmetic-shift nibble extract,
+    "float" = f32 floor/fma extract (v5e has no bf16 ALU), "auto" = shift
+    for narrow row counts, float at R >= 128 where it measures 15-30%
+    faster (the batched-serving verify shape; see
+    scripts/probe_int4_unpack.py)."""
     R, K = x.shape
+    if unpack == "auto":
+        unpack = "float" if R >= 128 else "shift"
     N = scale.shape[-1]
     out_dtype = out_dtype or x.dtype
     assert bits in (8, 4)
@@ -174,7 +204,7 @@ def quant_matmul(
             x_lo = jnp.pad(x_lo, ((0, 0), (0, Kqp - half)))
             x_hi = jnp.pad(x_hi, ((0, 0), (0, Kqp - half)))
         out = pl.pallas_call(
-            functools.partial(_kernel_int4, k_tiles=k_tiles),
+            functools.partial(_kernel_int4, k_tiles=k_tiles, unpack=unpack),
             grid=(n_tiles, k_tiles),
             in_specs=[
                 pl.BlockSpec((R, bkq), lambda n, k: (0, k)),

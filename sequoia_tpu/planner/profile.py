@@ -53,8 +53,14 @@ def time_forward_widths(
     The `reps` forwards run INSIDE one jit as a `lax.fori_loop`, mirroring
     how the engine actually executes (its decode loop is fully on-device) —
     timing individual dispatches would fold host/tunnel round-trip overhead
-    (~2 ms on remote-TPU setups) into every step and bias the planner toward
-    too-shallow trees (small-draft costs get overestimated ~10x).
+    into every step and bias the planner toward too-shallow trees.
+
+    The per-forward time is DIFFERENCED between a short and a long loop:
+    a single dispatch over a remote-TPU tunnel costs ~24 ms wall-clock
+    regardless of the computation, so even `total/reps` at reps=50 carries
+    a ~0.5 ms/forward bias — 5x the true cost of a small draft forward.
+    `(T(reps) - T(reps/4)) / (reps - reps/4)` cancels the constant. The
+    trip count is a traced argument, so both rep counts share one compile.
 
     `batch > 1` times the VMAPPED forward (batch independent requests, each
     its own KV — the batched engine's execution shape). This is how the
@@ -68,14 +74,14 @@ def time_forward_widths(
     if batch > 1:
         one_step = jax.vmap(one_step, in_axes=(None, 0, 0, 0, None))
 
-    def reps_loop(params, tokens, pos, kv, mask):
+    def reps_loop(params, tokens, pos, kv, mask, n):
         def body(i, carry):
             kv, acc = carry
             # Data-depend on i so XLA cannot hoist the loop-invariant body.
             logits, kv = one_step(params, tokens + (i % 2), pos, kv, mask)
             return (kv, acc + logits.reshape(-1)[0])
 
-        kv, acc = jax.lax.fori_loop(0, reps, body, (kv, jnp.asarray(0.0, jnp.float32)))
+        kv, acc = jax.lax.fori_loop(0, n, body, (kv, jnp.asarray(0.0, jnp.float32)))
         # kv is returned so the donated input buffer has an output to alias
         # with — otherwise XLA drops the donation ("donated buffers were not
         # usable" warnings) and the timed loop pays a cache copy.
@@ -104,13 +110,22 @@ def time_forward_widths(
         # the scalar value is a hard synchronization point either way, and
         # warming up with a *different* token value defeats any
         # same-input execution result caching in the runtime.
+        r1 = max(2, reps // 4)
+        n1 = jnp.asarray(r1, jnp.int32)
+        n2 = jnp.asarray(reps, jnp.int32)
         for i in range(warmup):
-            float(timed(params, tokens + (2 + i), pos, fresh_kv(), mask)[0])
+            float(timed(params, tokens + (2 + i), pos, fresh_kv(), mask, n1)[0])
         kv = fresh_kv()
         jax.block_until_ready(kv.k)
         t0 = time.perf_counter()
-        float(timed(params, tokens, pos, kv, mask)[0])
-        out.append((time.perf_counter() - t0) / reps)
+        float(timed(params, tokens, pos, kv, mask, n1)[0])
+        t_short = time.perf_counter() - t0
+        kv = fresh_kv()
+        jax.block_until_ready(kv.k)
+        t0 = time.perf_counter()
+        float(timed(params, tokens + 1, pos, kv, mask, n2)[0])
+        t_long = time.perf_counter() - t0
+        out.append((t_long - t_short) / (reps - r1))
     return out
 
 

@@ -111,6 +111,35 @@ def test_continuous_batching_drains_queue(models):
         np.testing.assert_array_equal(exp[:n], out[:n])
 
 
+def test_serve_fast_matches_serve(models):
+    """Device-loop continuous batching == host-loop continuous batching
+    (greedy): identical outputs in input order."""
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    kw = dict(algorithm="greedy", max_length=96, prefill_chunk=16)
+    host = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=2, **kw)
+    expected = host.serve(PROMPTS, max_new_tokens=12, seed=0)
+    fast = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=2, **kw)
+    got = fast.serve_fast(PROMPTS, max_new_tokens=12, seed=0)
+    assert len(got) == len(expected)
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
+
+
+def test_serve_fast_fewer_prompts_than_slots(models):
+    cfg, draft, target = models
+    gm = uniform_tree(2, 2)
+    eng = BatchedSpecEngine(
+        draft, cfg, target, cfg, gm, batch_size=4, algorithm="greedy",
+        max_length=64, prefill_chunk=16,
+    )
+    results = eng.serve_fast(PROMPTS[:2], max_new_tokens=8, seed=0)
+    assert len(results) == 2
+    for p, out in zip(PROMPTS[:2], results):
+        assert len(out) > len(p)
+        np.testing.assert_array_equal(out[: len(p)], p)
+
+
 def test_serve_fewer_prompts_than_slots(models):
     cfg, draft, target = models
     gm = uniform_tree(2, 2)

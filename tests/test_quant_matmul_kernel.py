@@ -34,6 +34,22 @@ def test_kernel_matches_dense(bits, shape):
     np.testing.assert_allclose(np.asarray(got), np.asarray(dense), rtol=2e-5, atol=2e-4)
 
 
+@pytest.mark.parametrize("unpack", ["shift", "float"])
+def test_int4_unpack_variants_exact_match(unpack):
+    """Both int4 nibble-unpack paths must produce IDENTICAL results (the
+    f32 floor/fma extraction is exact for byte values: integers <= 256 are
+    exact in f32 and /16 is an exponent shift)."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(130, 128)), jnp.float32)  # R>=128: auto->float
+    w = jnp.asarray(rng.normal(size=(128, 256)), jnp.float32)
+    qt = quantize_int4(w)
+    dense = x @ dequantize(qt, 128, jnp.float32)
+    got = quant_matmul(x, qt.q, qt.scale, bits=4, interpret=True, unpack=unpack)
+    auto = quant_matmul(x, qt.q, qt.scale, bits=4, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense), rtol=2e-5, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(auto))
+
+
 def test_kernel_small_blocks():
     # Force multiple N and K tiles.
     rng = np.random.default_rng(0)

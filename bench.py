@@ -84,6 +84,7 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
             draft_params, draft_cfg, target_params, target_cfg, bgm,
             algorithm="sequoia", max_length=args.max_length,
             temperature=0.6, top_p=0.9, prefill_chunk=128, batch_size=B,
+            kv_quant=args.batched_kv_quant,
         )
         bstate = beng.prefill_batch([prompt] * B)
         vit = jax.vmap(beng._iterate_impl, in_axes=(None, None, 0))
@@ -93,7 +94,9 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
 
         def timed(f, *fargs):
             # Differenced: a single dispatch costs ~24 ms over the tunnel,
-            # so total/reps would carry a ~24/R ms constant bias.
+            # so total/reps would carry a ~24/R ms constant bias. Median of
+            # 3 samples: tunnel-RTT jitter is several ms, which at small
+            # phase times can otherwise difference to ~0 or even negative.
             @jax.jit
             def loop(n, *a):
                 def body(i, acc):
@@ -103,17 +106,49 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
             r1 = max(2, R // 4)
             n1, n2 = jnp.asarray(r1, jnp.int32), jnp.asarray(R, jnp.int32)
             float(loop(n1, *fargs))
-            t0 = time.perf_counter()
-            float(loop(n1, *fargs))
-            t_short = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            float(loop(n2, *fargs))
-            t_long = time.perf_counter() - t0
-            return (t_long - t_short) / (R - r1)
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(loop(n1, *fargs))
+                t_short = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(loop(n2, *fargs))
+                t_long = time.perf_counter() - t0
+                samples.append((t_long - t_short) / (R - r1))
+            samples.sort()
+            return samples[1]
+
+        def timed_full(dp, tp, st):
+            # The full iteration must CARRY the state through the loop:
+            # with a loop-invariant state arg, the compacted KV output
+            # can't alias its (still-live) input and XLA inserts a full
+            # per-iteration cache copy — measured +11 ms at B=16 int8 KV.
+            # Carrying (and pinning gtl so slots stay in range) matches how
+            # the real device loop executes, with in-place KV updates.
+            @jax.jit
+            def floop(n, dp, tp, st):
+                def body(i, s):
+                    s2, _ = vit(dp, tp, s)
+                    return s2._replace(gtl=st.gtl, terminal=st.terminal)
+                return jax.lax.fori_loop(0, n, body, st)
+
+            r1 = max(2, R // 4)
+            n1, n2 = jnp.asarray(r1, jnp.int32), jnp.asarray(R, jnp.int32)
+            float(floop(n1, dp, tp, st).tokens.astype(jnp.float32).sum())
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(floop(n1, dp, tp, st).tokens.astype(jnp.float32).sum())
+                ts = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(floop(n2, dp, tp, st).tokens.astype(jnp.float32).sum())
+                tl = time.perf_counter() - t0
+                samples.append((tl - ts) / (R - r1))
+            samples.sort()
+            return samples[1]
 
         pert = lambda s, i: s._replace(tokens=s.tokens + (i % 2))
-        t_full = timed(lambda i, dp, tp, s: vit(dp, tp, pert(s, i))[0].tokens,
-                       draft_params, target_params, bstate)
+        t_full = timed_full(draft_params, target_params, bstate)
         t_grow = timed(lambda i, dp, s: vgrow(dp, pert(s, i))[0],
                        draft_params, bstate)
         t_tgt = timed(lambda i, tp, s, tt: vtgt(tp, s, tt + (i % 2))[0],
@@ -130,7 +165,9 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     # per-iteration overhead (finalize/accept/compact) folded into the
     # target curve, then keep whichever tree measures faster.
     levels = max(1, bgm.num_grow_steps)
-    dt2 = t_grow / levels
+    # Clamp attribution: differenced phase times can noise down to ~0 for
+    # sub-ms phases, and a 0 draft cost makes the DP plan arbitrarily deep.
+    dt2 = max(t_grow / levels, 0.05e-3)
     fixed = max(0.0, t_full - t_grow - t_tgt)
     bgm2, _ = plan(p, list(bbudgets), [t + fixed for t in btt], dt2,
                    max_depth=args.max_depth)
@@ -155,6 +192,7 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     # some B the batched AR baseline wins and serving should switch to it).
     from sequoia_tpu.core.model import forward as _fwd
     from sequoia_tpu.kvcache.cache import KVCache as _KV
+    from sequoia_tpu.kvcache.cache import KVCache8 as _KV8
     from sequoia_tpu.ops import masks as _masks
 
     kv_len = args.prefix_len
@@ -180,8 +218,9 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
             0, R, body, (bt, kv, jnp.asarray(0.0, jnp.float32)))
         return acc
 
-    bkv = jax.vmap(lambda _: _KV.init(target_cfg, args.max_length,
-                                      jnp.bfloat16))(jnp.arange(B))
+    _cache_cls = _KV8 if args.batched_kv_quant == "int8" else _KV
+    bkv = jax.vmap(lambda _: _cache_cls.init(target_cfg, args.max_length,
+                                             jnp.bfloat16))(jnp.arange(B))
     float(arloop(target_params, btoks, bpos, bkv))
     t0 = time.perf_counter()
     float(arloop(target_params, btoks, bpos, bkv))
@@ -218,7 +257,20 @@ def main() -> None:
                          "per tree level + the bonus re-draft (8 weight "
                          "streams/iteration), so halving draft bytes cuts "
                          "real per-iteration overhead")
-    ap.add_argument("--batch", type=int, default=8,
+    ap.add_argument("--kv-quant", default="none", choices=["none", "int8"],
+                    help="int8 target KV cache (per-row scales) for the "
+                         "SINGLE-REQUEST engines. Measured on v5e: hurts at "
+                         "B=1 (13.4 vs 11.8 ms/iteration — the dequant "
+                         "epilogues cost more than the 537 MB KV read they "
+                         "save), so default none")
+    ap.add_argument("--batched-kv-quant", default="int8",
+                    choices=["none", "int8"],
+                    help="KV quantization for the BATCHED section. At batch "
+                         "the KV stream rivals the weight stream (4.3 GB at "
+                         "B=8) and int8 KV is what lets B=16 fit in one "
+                         "chip's HBM at all: measured 1431 tok/s at B=8 "
+                         "(tie with bf16) and 1910 tok/s at B=16 (bf16 OOMs)")
+    ap.add_argument("--batch", type=int, default=16,
                     help="also measure batched serving throughput at this "
                          "batch size (vmapped fused iteration; 0/1 disables)")
     ap.add_argument("--max-length", type=int, default=256)
@@ -299,6 +351,7 @@ def main() -> None:
     ar = ARBaseline(
         target_params, target_cfg, max_length=args.max_length,
         temperature=0.6, top_p=0.9, greedy=False, prefill_chunk=128,
+        kv_quant=args.kv_quant,
     )
     ar.generate_fast(prompt, max_new_tokens=8)  # warmup/compile
     n_base = args.gen_tokens
@@ -351,6 +404,7 @@ def main() -> None:
         draft_params, draft_cfg, target_params, target_cfg, gm,
         algorithm="sequoia", max_length=args.max_length,
         temperature=0.6, top_p=0.9, prefill_chunk=128,
+        kv_quant=args.kv_quant,
     )
     eng.generate_fast(prompt, max_new_tokens=4)  # warmup/compile
 

@@ -128,6 +128,8 @@ def main(argv=None) -> None:
                     help="dataset window start (tests/testbed.py:27)")
     ap.add_argument("--end", type=int, default=None, help="dataset window end")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--kv-quant", default="none", choices=["none", "int8"],
+                    help="int8 target KV cache with per-row scales")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--device-loop", action="store_true", default=True)
     args = ap.parse_args(argv)
@@ -149,6 +151,7 @@ def main(argv=None) -> None:
         ar = ARBaseline(
             target_params, target_cfg, max_length=args.M,
             temperature=args.T, top_p=args.P, greedy=(args.algorithm == "greedy"),
+            kv_quant=args.kv_quant,
         )
         ar.generate_fast(prompts[0], max_new_tokens=4)  # compile
         for i, prompt in enumerate(prompts):
@@ -166,7 +169,7 @@ def main(argv=None) -> None:
         eng = SpecEngine(
             draft_params, draft_cfg, target_params, target_cfg, gm,
             algorithm=args.algorithm, max_length=args.M,
-            temperature=args.T, top_p=args.P,
+            temperature=args.T, top_p=args.P, kv_quant=args.kv_quant,
         )
         phase_totals = {}
         if args.mode == "benchmark":

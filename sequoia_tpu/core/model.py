@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import LlamaConfig
-from ..kvcache.cache import KVCache
+from ..kvcache.cache import KVCache, KVCache8, quantize_kv_rows
 from ..quant.qtensor import matmul as qmm
 
 NEG_INF = float("-inf")
@@ -106,8 +106,13 @@ def forward(
     # Additive f32 mask, broadcast over heads.
     bias = jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32)  # [Q, M]
 
+    quantized_kv = isinstance(kv, KVCache8)
+
     def layer_step(hidden, xs):
-        lp, k_cache, v_cache = xs  # k/v_cache: [M, Hkv, D]
+        if quantized_kv:
+            lp, k_cache, v_cache, ks_c, vs_c = xs  # rows int8, scales [M, Hkv]
+        else:
+            lp, k_cache, v_cache = xs  # k/v_cache: [M, Hkv, D]
 
         x = rms_norm(hidden, lp.attn_norm, cfg.rms_norm_eps)
         q = qmm(x, lp.wq).reshape(Q, H, D)
@@ -116,12 +121,35 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k, (cache_offset, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v, (cache_offset, 0, 0))
+        if quantized_kv:
+            kq, k_sc = quantize_kv_rows(k)
+            vq, v_sc = quantize_kv_rows(v)
+            k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (cache_offset, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (cache_offset, 0, 0))
+            ks_c = jax.lax.dynamic_update_slice(ks_c, k_sc, (cache_offset, 0))
+            vs_c = jax.lax.dynamic_update_slice(vs_c, v_sc, (cache_offset, 0))
+        else:
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k, (cache_offset, 0, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v, (cache_offset, 0, 0))
 
         # GQA without materializing repeated KV heads.
         qg = q.reshape(Q, Hkv, G, D)
-        if cfg.attention_impl == "xla":
+        if quantized_kv:
+            # int8 rows cross HBM; the convert fuses into the dot (same as
+            # weight-only quantization) and the per-row scales fold into
+            # attention exactly: scores *= ks[m,h] pre-softmax, probs *=
+            # vs[m,h] pre-value-dot. Always the XLA path (the Pallas tree
+            # kernel takes float caches).
+            kf = k_cache.astype(hidden.dtype)
+            scores = jnp.einsum(
+                "qhgd,mhd->hgqm", qg, kf, preferred_element_type=jnp.float32
+            ) * scale
+            scores = scores * ks_c.T[:, None, None, :]
+            scores = scores + bias[None, None, :, :]
+            probs = jax.nn.softmax(scores, axis=-1)
+            pv = (probs * vs_c.T[:, None, None, :]).astype(hidden.dtype)
+            attn = jnp.einsum("hgqm,mhd->qhgd", pv, v_cache.astype(hidden.dtype))
+        elif cfg.attention_impl == "xla":
             scores = jnp.einsum(
                 "qhgd,mhd->hgqm", qg, k_cache, preferred_element_type=jnp.float32
             ) * scale                              # [Hkv, G, Q, M] f32
@@ -141,6 +169,8 @@ def forward(
         y = rms_norm(hidden, lp.mlp_norm, cfg.rms_norm_eps)
         mlp = qmm(jax.nn.silu(qmm(y, lp.w_gate)) * qmm(y, lp.w_up), lp.w_down)
         hidden = hidden + mlp
+        if quantized_kv:
+            return hidden, (k_cache, v_cache, ks_c, vs_c)
         return hidden, (k_cache, v_cache)
 
     # Unroll shallow stacks (draft models are 2-12 layers): the scan loop
@@ -148,9 +178,17 @@ def forward(
     # draft scale per-forward overhead — not FLOPs — dominates the
     # speculation cost (planner draft_time sensitivity: SURVEY.md §3.3).
     unroll = cfg.num_layers if cfg.num_layers <= 12 else 1
-    hidden, (new_k, new_v) = jax.lax.scan(
-        layer_step, hidden, (params.layers, kv.k, kv.v), unroll=unroll
-    )
+    if quantized_kv:
+        hidden, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            layer_step, hidden, (params.layers, kv.k, kv.v, kv.ks, kv.vs),
+            unroll=unroll,
+        )
+        new_kv = KVCache8(k=new_k, v=new_v, ks=new_ks, vs=new_vs)
+    else:
+        hidden, (new_k, new_v) = jax.lax.scan(
+            layer_step, hidden, (params.layers, kv.k, kv.v), unroll=unroll
+        )
+        new_kv = KVCache(k=new_k, v=new_v)
     hidden = rms_norm(hidden, params.final_norm, cfg.rms_norm_eps)
     logits = qmm(hidden, params.lm_head, preferred_element_type=jnp.float32)
-    return logits, KVCache(k=new_k, v=new_v)
+    return logits, new_kv

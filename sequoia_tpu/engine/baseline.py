@@ -13,7 +13,7 @@ import numpy as np
 
 from ..core.config import LlamaConfig
 from ..core.model import LlamaParams, forward
-from ..kvcache.cache import KVCache
+from ..kvcache.cache import KVCache, KVCache8
 from ..ops import masks
 from ..ops.sampling import sample_categorical_probs, target_probs
 
@@ -42,6 +42,7 @@ class ARBaseline:
         top_p: float = 0.9,
         greedy: bool = False,
         prefill_chunk: int = 128,
+        kv_quant=None,
     ) -> None:
         self.params = params
         self.cfg = cfg
@@ -50,6 +51,7 @@ class ARBaseline:
         self.top_p = top_p
         self.greedy = greedy
         self.prefill_chunk = min(prefill_chunk, max_length)
+        self.kv_quant = None if kv_quant == "none" else kv_quant
         self._step = jax.jit(self._step_impl, donate_argnums=(1,))
         self._prefill_chunk_fn = jax.jit(self._prefill_impl, donate_argnums=(1,))
         self._loop = jax.jit(self._loop_impl, donate_argnums=(1,))
@@ -119,7 +121,8 @@ class ARBaseline:
         state = ARState(
             tokens=jnp.zeros((self.max_length,), jnp.int32),
             n=jnp.asarray(plen, jnp.int32),
-            kv=KVCache.init(self.cfg, self.max_length, self.params.embed.dtype),
+            kv=(KVCache8 if self.kv_quant == "int8" else KVCache).init(
+                self.cfg, self.max_length, self.params.embed.dtype),
             last_logits=jnp.zeros((self.cfg.vocab_size,), jnp.float32),
             key=jax.random.PRNGKey(seed),
             terminal=jnp.asarray(False),

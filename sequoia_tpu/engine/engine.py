@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.config import LlamaConfig
 from ..core.model import LlamaParams, forward
-from ..kvcache.cache import KVCache
+from ..kvcache.cache import KVCache, KVCache8
 from ..ops import masks
 from ..ops.sampling import (
     sample_argmax,
@@ -94,8 +94,10 @@ class SpecEngine:
         prefill_chunk: int = 128,
         mesh=None,
         shard_draft: bool = False,
+        kv_quant: Optional[str] = None,
     ) -> None:
         assert algorithm in ALGORITHMS, algorithm
+        assert kv_quant in (None, "none", "int8"), kv_quant
         assert draft_cfg.vocab_size == target_cfg.vocab_size
         if algorithm in ("sequoia", "specinfer", "greedys"):
             assert temperature > 0.0, "stochastic algorithms need T > 0"
@@ -116,6 +118,10 @@ class SpecEngine:
         # GSPMD propagates through the jitted iteration.
         self.mesh = mesh
         self.shard_draft = shard_draft
+        # Optional int8 target KV cache (per-row scales, kvcache/cache.py
+        # KVCache8): halves the decode-attention HBM stream, which rivals
+        # the weight stream at batch. Draft KV stays float (it is tiny).
+        self.kv_quant = None if kv_quant == "none" else kv_quant
         if mesh is not None:
             from ..parallel.sharding import check_tp_divisibility
 
@@ -161,7 +167,8 @@ class SpecEngine:
         # with a bf16/quantized target must not inherit the target's dtype.
         draft_kv = KVCache.init(
             self.draft_cfg, self.max_length, self.draft_params.embed.dtype)
-        target_kv = KVCache.init(self.target_cfg, self.max_length, kv_dtype)
+        target_cache_cls = KVCache8 if self.kv_quant == "int8" else KVCache
+        target_kv = target_cache_cls.init(self.target_cfg, self.max_length, kv_dtype)
         if self.mesh is not None:
             from ..parallel.sharding import shard_kv
 

@@ -58,3 +58,60 @@ class KVCache(NamedTuple):
         k = jax.lax.dynamic_update_slice(self.k, gathered_k, (0, dest_offset, 0, 0))
         v = jax.lax.dynamic_update_slice(self.v, gathered_v, (0, dest_offset, 0, 0))
         return KVCache(k=k, v=v)
+
+
+class KVCache8(NamedTuple):
+    """int8-quantized KV cache: per-row, per-kv-head symmetric scales.
+
+    Decode attention reads the WHOLE static cache every forward, so at batch
+    the KV stream rivals the weight stream (measured: 4.3 GB/iteration at
+    B=8 for llama-2-7b, ~25% of the batched iteration). int8 rows halve
+    that and double the batch that fits in HBM. The dequant multiplies fold
+    into attention math exactly: scores * ks[m,h] before softmax, probs *
+    vs[m,h] before the value dot — both exact (not approximations of the
+    quantized matmul), so the only error is the int8 rounding of k/v rows.
+
+    k/v:   int8 [L, M, Hkv, D]
+    ks/vs: f32  [L, M, Hkv]
+    """
+
+    k: jax.Array
+    v: jax.Array
+    ks: jax.Array
+    vs: jax.Array
+
+    @property
+    def max_length(self) -> int:
+        return self.k.shape[1]
+
+    @staticmethod
+    def init(cfg: LlamaConfig, max_length: int, dtype=None) -> "KVCache8":
+        """`dtype` is accepted (and ignored) for interface parity with
+        `KVCache.init` — rows are always int8 with f32 scales."""
+        shape = (cfg.num_layers, max_length, cfg.num_kv_heads, cfg.head_dim_)
+        sshape = shape[:-1]
+        return KVCache8(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            ks=jnp.zeros(sshape, jnp.float32),
+            vs=jnp.zeros(sshape, jnp.float32),
+        )
+
+    def compact(self, slots: jax.Array, dest_offset) -> "KVCache8":
+        k = jax.lax.dynamic_update_slice(
+            self.k, jnp.take(self.k, slots, axis=1), (0, dest_offset, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            self.v, jnp.take(self.v, slots, axis=1), (0, dest_offset, 0, 0))
+        ks = jax.lax.dynamic_update_slice(
+            self.ks, jnp.take(self.ks, slots, axis=1), (0, dest_offset, 0))
+        vs = jax.lax.dynamic_update_slice(
+            self.vs, jnp.take(self.vs, slots, axis=1), (0, dest_offset, 0))
+        return KVCache8(k=k, v=v, ks=ks, vs=vs)
+
+
+def quantize_kv_rows(x: jax.Array):
+    """x: float [Q, Hkv, D] -> (int8 rows, f32 scales [Q, Hkv])."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
+    return q, scale

@@ -96,11 +96,17 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     )
 
 
-def shard_kv(kv: KVCache, mesh: Mesh) -> KVCache:
-    specs = tp_kv_spec()
-    return KVCache(
-        k=jax.device_put(kv.k, NamedSharding(mesh, specs.k)),
-        v=jax.device_put(kv.v, NamedSharding(mesh, specs.v)),
+def shard_kv(kv, mesh: Mesh):
+    """Shard a `KVCache` or `KVCache8` over KV heads. Rows `[L, M, Hkv, D]`
+    shard on axis 2; int8 per-row scales `[L, M, Hkv]` shard on their last
+    axis — compaction gathers stay shard-local either way."""
+    def spec_for(leaf):
+        if leaf.ndim == 4:
+            return P(None, None, "tp", None)
+        return P(None, None, "tp")  # [L, M, Hkv] scales
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), kv
     )
 
 
@@ -114,8 +120,10 @@ def shard_batched_state(state, mesh: Mesh):
     def spec_for(leaf):
         if leaf.ndim == 0:
             return P()
-        if leaf.ndim >= 4:  # batched KV: [B, L, M, Hkv, D]
+        if leaf.ndim == 5:  # batched KV rows: [B, L, M, Hkv, D]
             return P("dp", None, None, "tp", None)
+        if leaf.ndim == 4:  # batched int8-KV scales: [B, L, M, Hkv]
+            return P("dp", None, None, "tp")
         return P("dp", *([None] * (leaf.ndim - 1)))
 
     return jax.tree.map(

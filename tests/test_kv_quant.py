@@ -1,0 +1,92 @@
+"""int8 KV cache (KVCache8): numerical closeness to the float cache, scale
+movement under compaction, and the engine end-to-end with kv_quant."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from sequoia_tpu.core.config import get_config
+from sequoia_tpu.core.init import random_params
+from sequoia_tpu.core.model import forward
+from sequoia_tpu.engine.engine import SpecEngine
+from sequoia_tpu.kvcache.cache import KVCache, KVCache8, quantize_kv_rows
+from sequoia_tpu.ops import masks
+from sequoia_tpu.trees.growmap import uniform_tree
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = get_config("test-tiny")
+    params = random_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    return cfg, params
+
+
+def _run_two_steps(cfg, params, cache):
+    """Prefill 8 tokens then decode 3 more reading the cached rows."""
+    M = 32
+    toks = jnp.asarray([5, 9, 2, 7, 1, 4, 6, 3], jnp.int32)
+    pos = jnp.arange(8, dtype=jnp.int32)
+    _, cache = forward(params, cfg, toks, pos, cache, 0,
+                       masks.causal_mask(8, M, 0))
+    toks2 = jnp.asarray([2, 8, 5], jnp.int32)
+    pos2 = 8 + jnp.arange(3, dtype=jnp.int32)
+    logits, cache = forward(params, cfg, toks2, pos2, cache, 8,
+                            masks.causal_mask(3, M, 8))
+    return np.asarray(logits), cache
+
+
+def test_quantize_kv_rows_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(5, 2, 16)) * 3.0, jnp.float32)
+    q, s = quantize_kv_rows(x)
+    assert q.dtype == jnp.int8 and s.shape == (5, 2)
+    back = np.asarray(q, np.float32) * np.asarray(s)[..., None]
+    err = np.abs(back - np.asarray(x)).max()
+    # Max rounding error is scale/2 = amax/254.
+    assert err <= np.abs(np.asarray(x)).max() / 254 + 1e-6
+
+
+def test_forward_close_to_float_cache(model):
+    cfg, params = model
+    ref, _ = _run_two_steps(cfg, params, KVCache.init(cfg, 32, jnp.float32))
+    got, _ = _run_two_steps(cfg, params, KVCache8.init(cfg, 32))
+    # int8 KV perturbs logits slightly; ranks of the top tokens must agree
+    # and values stay close.
+    np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.15)
+    assert (np.argmax(got, -1) == np.argmax(ref, -1)).mean() >= 2 / 3
+
+
+def test_compact_moves_scales_with_rows(model):
+    cfg, _ = model
+    cache = KVCache8.init(cfg, 16)
+    rng = np.random.default_rng(1)
+    rows = jnp.asarray(
+        rng.normal(size=(cfg.num_layers, 16, cfg.num_kv_heads, cfg.head_dim_)),
+        jnp.float32)
+    q, s = jax.vmap(quantize_kv_rows)(rows)
+    cache = KVCache8(k=q, v=q, ks=s, vs=s)
+    slots = jnp.asarray([3, 7, 2], jnp.int32)
+    out = cache.compact(slots, 5)
+    np.testing.assert_array_equal(
+        np.asarray(out.k[:, 5:8]), np.asarray(q[:, [3, 7, 2]]))
+    np.testing.assert_allclose(
+        np.asarray(out.ks[:, 5:8]), np.asarray(s[:, [3, 7, 2]]))
+    # Rows outside the window are untouched.
+    np.testing.assert_array_equal(np.asarray(out.k[:, :5]), np.asarray(q[:, :5]))
+
+
+@pytest.mark.parametrize("algo", ["greedy", "sequoia"])
+def test_engine_runs_with_kv_quant(model, algo):
+    cfg, params = model
+    target = random_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    gm = uniform_tree(3, 2)
+    eng = SpecEngine(params, cfg, target, cfg, gm, algorithm=algo,
+                     max_length=96, temperature=0.7, top_p=0.9,
+                     prefill_chunk=16, kv_quant="int8")
+    prompt = np.array([11, 23, 5, 99, 42, 7])
+    out = eng.generate(prompt, max_new_tokens=20, seed=0)
+    assert len(out) > len(prompt)
+    np.testing.assert_array_equal(out[: len(prompt)], prompt)
+    assert eng.num_large_model_steps > 0

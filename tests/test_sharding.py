@@ -96,3 +96,18 @@ def test_sharded_stochastic_runs(models):
     )
     out = eng.generate(np.asarray([5, 6, 7, 8]), max_new_tokens=16)
     assert len(out) > 4
+
+
+def test_sharded_kv_quant_runs(models):
+    """int8 KV cache under TP: rows and per-row scales both shard over the
+    kv-head axis (compaction gathers stay shard-local)."""
+    draft, target = models
+    mesh = make_mesh(tp=2)
+    gm = uniform_tree(2, 2)
+    eng = SpecEngine(
+        draft, CFG, shard_params(target, mesh), CFG, gm,
+        algorithm="sequoia", max_length=96, temperature=0.8, top_p=0.9,
+        prefill_chunk=16, mesh=mesh, kv_quant="int8",
+    )
+    out = eng.generate(np.asarray([5, 6, 7, 8]), max_new_tokens=16)
+    assert len(out) > 4

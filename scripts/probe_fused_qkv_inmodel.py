@@ -62,7 +62,7 @@ def main():
         G = cfg.q_per_kv
         scale = D ** -0.5
         hidden = params.embed[tokens]
-        cos, sin = rope_cos_sin(position_ids, D, cfg.rope_theta)
+        cos, sin = rope_cos_sin(position_ids, cfg)
         bias = jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32)
 
         def layer_step(hidden, xs):

@@ -27,6 +27,14 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     max_position_embeddings: int = 4096
     tie_word_embeddings: bool = False
+    # Llama-3.1/3.2 "llama3" RoPE frequency scaling (HF `rope_scaling` with
+    # rope_type="llama3"): low/mid/high-frequency bands of inv_freq are kept /
+    # smoothly interpolated / divided by `factor`. `rope_scaling_factor=None`
+    # disables scaling (Llama 1/2/3.0 behavior).
+    rope_scaling_factor: Optional[float] = None
+    rope_scaling_low_freq_factor: float = 1.0
+    rope_scaling_high_freq_factor: float = 4.0
+    rope_scaling_original_max_position: int = 8192
     # Tokens that terminate generation. The reference hard-codes {0, 2}
     # (Tree/SpecTree.py:208: `tokens[pos] == 0 or tokens[pos] == 2`); chat
     # runners override for Llama-3 (tests/greedy_run.py:129).
@@ -48,7 +56,21 @@ class LlamaConfig:
     @staticmethod
     def from_hf_dict(d: dict) -> "LlamaConfig":
         """Build from a HuggingFace `config.json`-style dict."""
+        rs = d.get("rope_scaling") or {}
+        rs_kwargs = {}
+        if rs.get("rope_type", rs.get("type")) == "llama3":
+            rs_kwargs = dict(
+                rope_scaling_factor=float(rs["factor"]),
+                rope_scaling_low_freq_factor=float(rs.get("low_freq_factor", 1.0)),
+                rope_scaling_high_freq_factor=float(rs.get("high_freq_factor", 4.0)),
+                rope_scaling_original_max_position=int(
+                    rs.get("original_max_position_embeddings", 8192)),
+            )
+        elif rs:
+            raise NotImplementedError(
+                f"unsupported rope_scaling type {rs.get('rope_type', rs.get('type'))!r}")
         return LlamaConfig(
+            **rs_kwargs,
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
             intermediate_size=d["intermediate_size"],
@@ -118,6 +140,35 @@ PRESETS = {
         vocab_size=128256, hidden_size=8192, intermediate_size=28672,
         num_layers=80, num_heads=64, num_kv_heads=8, rope_theta=500000.0,
         max_position_embeddings=8192, stop_tokens=(128009, 128001),
+    ),
+    # Llama-3.1/3.2 family ("llama3" rope scaling; 3.2-1b/3b are the natural
+    # GQA draft models for a llama-3.1-8b/70b target — 8 KV heads shrink the
+    # KV stream 4x vs the llama-2 MHA drafts).
+    "llama-3.1-8b": LlamaConfig(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_layers=32, num_heads=32, num_kv_heads=8, rope_theta=500000.0,
+        max_position_embeddings=131072, stop_tokens=(128009, 128001),
+        rope_scaling_factor=8.0,
+    ),
+    "llama-3.1-70b": LlamaConfig(
+        vocab_size=128256, hidden_size=8192, intermediate_size=28672,
+        num_layers=80, num_heads=64, num_kv_heads=8, rope_theta=500000.0,
+        max_position_embeddings=131072, stop_tokens=(128009, 128001),
+        rope_scaling_factor=8.0,
+    ),
+    "llama-3.2-1b": LlamaConfig(
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_layers=16, num_heads=32, num_kv_heads=8, head_dim=64,
+        rope_theta=500000.0, max_position_embeddings=131072,
+        stop_tokens=(128009, 128001), tie_word_embeddings=True,
+        rope_scaling_factor=32.0,
+    ),
+    "llama-3.2-3b": LlamaConfig(
+        vocab_size=128256, hidden_size=3072, intermediate_size=8192,
+        num_layers=28, num_heads=24, num_kv_heads=8, head_dim=128,
+        rope_theta=500000.0, max_position_embeddings=131072,
+        stop_tokens=(128009, 128001), tie_word_embeddings=True,
+        rope_scaling_factor=32.0,
     ),
     # Tiny configs for CPU tests.
     "test-tiny": LlamaConfig(

@@ -66,9 +66,31 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (normed * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_cos_sin(position_ids: jax.Array, head_dim: int, theta: float) -> Tuple[jax.Array, jax.Array]:
+def rope_inv_freq(cfg: LlamaConfig) -> jnp.ndarray:
+    """Per-frequency-pair inverse frequencies `[D/2]`, with the Llama-3.1/3.2
+    "llama3" scaling applied when configured: wavelengths above
+    `original_max_position / low_freq_factor` are stretched by `factor`, ones
+    below `original / high_freq_factor` are kept, and the band between is
+    linearly interpolated (HF `_compute_llama3_parameters` semantics)."""
+    D = cfg.head_dim_
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (jnp.arange(0, D, 2, dtype=jnp.float32) / D)
+    )
+    if cfg.rope_scaling_factor is None:
+        return inv_freq
+    factor = cfg.rope_scaling_factor
+    low = cfg.rope_scaling_low_freq_factor
+    high = cfg.rope_scaling_high_freq_factor
+    orig = cfg.rope_scaling_original_max_position
+    wavelen = 2.0 * jnp.pi / inv_freq
+    smooth = (orig / wavelen - low) / (high - low)
+    smooth = jnp.clip(smooth, 0.0, 1.0)  # 0 => long wavelength, 1 => short
+    return (1.0 - smooth) * inv_freq / factor + smooth * inv_freq
+
+
+def rope_cos_sin(position_ids: jax.Array, cfg: LlamaConfig) -> Tuple[jax.Array, jax.Array]:
     """cos/sin `[Q, D]` (half-duplicated, llama rotate-half convention)."""
-    inv_freq = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+    inv_freq = rope_inv_freq(cfg)
     freqs = position_ids.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [Q, D/2]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)
@@ -102,7 +124,7 @@ def forward(
     scale = D ** -0.5
 
     hidden = params.embed[tokens]  # [Q, E]
-    cos, sin = rope_cos_sin(position_ids, D, cfg.rope_theta)
+    cos, sin = rope_cos_sin(position_ids, cfg)
     # Additive f32 mask, broadcast over heads.
     bias = jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32)  # [Q, M]
 

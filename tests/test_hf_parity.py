@@ -21,7 +21,8 @@ from sequoia_tpu.core.model import forward
 from sequoia_tpu.ops import masks
 
 
-def _make_hf_checkpoint(tmp_path, num_kv_heads, safe_serialization):
+def _make_hf_checkpoint(tmp_path, num_kv_heads, safe_serialization,
+                        rope_scaling=None, tie_word_embeddings=False):
     from transformers import LlamaConfig as HFConfig
     from transformers import LlamaForCausalLM
 
@@ -36,8 +37,9 @@ def _make_hf_checkpoint(tmp_path, num_kv_heads, safe_serialization):
         max_position_embeddings=256,
         rms_norm_eps=1e-5,
         rope_theta=10000.0,
-        tie_word_embeddings=False,
+        tie_word_embeddings=tie_word_embeddings,
         attn_implementation="eager",
+        rope_scaling=rope_scaling,
     )
     model = LlamaForCausalLM(hf_cfg)
     model.eval()
@@ -64,6 +66,46 @@ def test_logits_parity(tmp_path, num_kv_heads, safe_serialization):
     mask = masks.causal_mask(T, 16, 0)
     got, _ = forward(params, cfg, tokens, pos, kv, 0, mask)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_logits_parity_llama3_rope_scaling(tmp_path):
+    """Llama-3.1/3.2 'llama3' rope scaling + tied embeddings: logits must
+    match HF's `_compute_llama3_parameters` path. `original_max_position=16`
+    with positions 0..8 puts frequency pairs in all three bands (kept /
+    interpolated / factor-scaled), so a band-boundary bug can't cancel out."""
+    rope_scaling = {
+        "rope_type": "llama3",
+        "factor": 32.0,
+        "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0,
+        "original_max_position_embeddings": 16,
+    }
+    model, path = _make_hf_checkpoint(
+        tmp_path, 2, True, rope_scaling=rope_scaling, tie_word_embeddings=True)
+    params, cfg = load_hf_checkpoint(path, dtype=jnp.float32)
+    assert cfg.rope_scaling_factor == 32.0
+    assert cfg.tie_word_embeddings
+
+    T = 9
+    ids = np.array([[5, 7, 99, 13, 1, 64, 100, 2, 77]], np.int64)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(ids)).logits[0].float().numpy()
+
+    tokens = jnp.asarray(ids[0], jnp.int32)
+    pos = jnp.arange(T, dtype=jnp.int32)
+    kv = KVCache.init(cfg, 16, jnp.float32)
+    mask = masks.causal_mask(T, 16, 0)
+    got, _ = forward(params, cfg, tokens, pos, kv, 0, mask)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+    # Scaling must actually change the rotation (guard against a silently
+    # ignored config field).
+    from sequoia_tpu.core.model import rope_inv_freq
+    import dataclasses
+
+    unscaled = rope_inv_freq(dataclasses.replace(cfg, rope_scaling_factor=None))
+    scaled = rope_inv_freq(cfg)
+    assert not np.allclose(np.asarray(unscaled), np.asarray(scaled))
 
 
 def test_sharded_checkpoint_load(tmp_path):

@@ -218,7 +218,9 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
             0, R, body, (bt, kv, jnp.asarray(0.0, jnp.float32)))
         return acc
 
-    _cache_cls = _KV8 if args.batched_kv_quant == "int8" else _KV
+    from sequoia_tpu.kvcache.cache import KVCache4 as _KV4
+
+    _cache_cls = {"int8": _KV8, "int4": _KV4, "none": _KV}[args.batched_kv_quant]
     bkv = jax.vmap(lambda _: _cache_cls.init(target_cfg, args.max_length,
                                              jnp.bfloat16))(jnp.arange(B))
     float(arloop(target_params, btoks, bpos, bkv))
@@ -257,14 +259,14 @@ def main() -> None:
                          "per tree level + the bonus re-draft (8 weight "
                          "streams/iteration), so halving draft bytes cuts "
                          "real per-iteration overhead")
-    ap.add_argument("--kv-quant", default="none", choices=["none", "int8"],
+    ap.add_argument("--kv-quant", default="none", choices=["none", "int8", "int4"],
                     help="int8 target KV cache (per-row scales) for the "
                          "SINGLE-REQUEST engines. Measured on v5e: hurts at "
                          "B=1 (13.4 vs 11.8 ms/iteration — the dequant "
                          "epilogues cost more than the 537 MB KV read they "
                          "save), so default none")
     ap.add_argument("--batched-kv-quant", default="int8",
-                    choices=["none", "int8"],
+                    choices=["none", "int8", "int4"],
                     help="KV quantization for the BATCHED section. At batch "
                          "the KV stream rivals the weight stream (4.3 GB at "
                          "B=8) and int8 KV is what lets B=16 fit in one "

@@ -128,7 +128,7 @@ def main(argv=None) -> None:
                     help="dataset window start (tests/testbed.py:27)")
     ap.add_argument("--end", type=int, default=None, help="dataset window end")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    ap.add_argument("--kv-quant", default="none", choices=["none", "int8"],
+    ap.add_argument("--kv-quant", default="none", choices=["none", "int8", "int4"],
                     help="int8 target KV cache with per-row scales")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--device-loop", action="store_true", default=True)

@@ -32,7 +32,14 @@ import jax
 import jax.numpy as jnp
 
 from .config import LlamaConfig
-from ..kvcache.cache import KVCache, KVCache8, quantize_kv_rows
+from ..kvcache.cache import (
+    KVCache,
+    KVCache4,
+    KVCache8,
+    quantize_kv_rows,
+    quantize_kv_rows4,
+    unpack_kv_rows4,
+)
 from ..quant.qtensor import matmul as qmm
 
 NEG_INF = float("-inf")
@@ -128,7 +135,9 @@ def forward(
     # Additive f32 mask, broadcast over heads.
     bias = jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32)  # [Q, M]
 
-    quantized_kv = isinstance(kv, KVCache8)
+    quantized_kv = isinstance(kv, (KVCache8, KVCache4))
+    int4_kv = isinstance(kv, KVCache4)
+    quantize_rows = quantize_kv_rows4 if int4_kv else quantize_kv_rows
 
     def layer_step(hidden, xs):
         if quantized_kv:
@@ -144,8 +153,8 @@ def forward(
         k = apply_rope(k, cos, sin)
 
         if quantized_kv:
-            kq, k_sc = quantize_kv_rows(k)
-            vq, v_sc = quantize_kv_rows(v)
+            kq, k_sc = quantize_rows(k)
+            vq, v_sc = quantize_rows(v)
             k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (cache_offset, 0, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, vq, (cache_offset, 0, 0))
             ks_c = jax.lax.dynamic_update_slice(ks_c, k_sc, (cache_offset, 0))
@@ -157,12 +166,14 @@ def forward(
         # GQA without materializing repeated KV heads.
         qg = q.reshape(Q, Hkv, G, D)
         if quantized_kv:
-            # int8 rows cross HBM; the convert fuses into the dot (same as
-            # weight-only quantization) and the per-row scales fold into
-            # attention exactly: scores *= ks[m,h] pre-softmax, probs *=
-            # vs[m,h] pre-value-dot. Always the XLA path (the Pallas tree
-            # kernel takes float caches).
-            kf = k_cache.astype(hidden.dtype)
+            # int8/int4 rows cross HBM; the convert (and int4 nibble unpack)
+            # fuses into the dot (same as weight-only quantization) and the
+            # per-row scales fold into attention exactly: scores *= ks[m,h]
+            # pre-softmax, probs *= vs[m,h] pre-value-dot. Always the XLA
+            # path (the Pallas tree kernel takes float caches).
+            ki = unpack_kv_rows4(k_cache) if int4_kv else k_cache
+            vi = unpack_kv_rows4(v_cache) if int4_kv else v_cache
+            kf = ki.astype(hidden.dtype)
             scores = jnp.einsum(
                 "qhgd,mhd->hgqm", qg, kf, preferred_element_type=jnp.float32
             ) * scale
@@ -170,7 +181,7 @@ def forward(
             scores = scores + bias[None, None, :, :]
             probs = jax.nn.softmax(scores, axis=-1)
             pv = (probs * vs_c.T[:, None, None, :]).astype(hidden.dtype)
-            attn = jnp.einsum("hgqm,mhd->qhgd", pv, v_cache.astype(hidden.dtype))
+            attn = jnp.einsum("hgqm,mhd->qhgd", pv, vi.astype(hidden.dtype))
         elif cfg.attention_impl == "xla":
             scores = jnp.einsum(
                 "qhgd,mhd->hgqm", qg, k_cache, preferred_element_type=jnp.float32
@@ -205,7 +216,7 @@ def forward(
             layer_step, hidden, (params.layers, kv.k, kv.v, kv.ks, kv.vs),
             unroll=unroll,
         )
-        new_kv = KVCache8(k=new_k, v=new_v, ks=new_ks, vs=new_vs)
+        new_kv = type(kv)(k=new_k, v=new_v, ks=new_ks, vs=new_vs)
     else:
         hidden, (new_k, new_v) = jax.lax.scan(
             layer_step, hidden, (params.layers, kv.k, kv.v), unroll=unroll

@@ -13,7 +13,7 @@ import numpy as np
 
 from ..core.config import LlamaConfig
 from ..core.model import LlamaParams, forward
-from ..kvcache.cache import KVCache, KVCache8
+from ..kvcache.cache import KVCache, KVCache4, KVCache8
 from ..ops import masks
 from ..ops.sampling import sample_categorical_probs, target_probs
 
@@ -121,8 +121,9 @@ class ARBaseline:
         state = ARState(
             tokens=jnp.zeros((self.max_length,), jnp.int32),
             n=jnp.asarray(plen, jnp.int32),
-            kv=(KVCache8 if self.kv_quant == "int8" else KVCache).init(
-                self.cfg, self.max_length, self.params.embed.dtype),
+            kv={"int8": KVCache8, "int4": KVCache4, None: KVCache}[
+                self.kv_quant
+            ].init(self.cfg, self.max_length, self.params.embed.dtype),
             last_logits=jnp.zeros((self.cfg.vocab_size,), jnp.float32),
             key=jax.random.PRNGKey(seed),
             terminal=jnp.asarray(False),

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..core.config import LlamaConfig
 from ..core.model import LlamaParams, forward
-from ..kvcache.cache import KVCache, KVCache8
+from ..kvcache.cache import KVCache, KVCache4, KVCache8
 from ..ops import masks
 from ..ops.sampling import (
     sample_argmax,
@@ -97,7 +97,7 @@ class SpecEngine:
         kv_quant: Optional[str] = None,
     ) -> None:
         assert algorithm in ALGORITHMS, algorithm
-        assert kv_quant in (None, "none", "int8"), kv_quant
+        assert kv_quant in (None, "none", "int8", "int4"), kv_quant
         assert draft_cfg.vocab_size == target_cfg.vocab_size
         if algorithm in ("sequoia", "specinfer", "greedys"):
             assert temperature > 0.0, "stochastic algorithms need T > 0"
@@ -118,9 +118,10 @@ class SpecEngine:
         # GSPMD propagates through the jitted iteration.
         self.mesh = mesh
         self.shard_draft = shard_draft
-        # Optional int8 target KV cache (per-row scales, kvcache/cache.py
-        # KVCache8): halves the decode-attention HBM stream, which rivals
-        # the weight stream at batch. Draft KV stays float (it is tiny).
+        # Optional int8/int4 target KV cache (per-row scales, kvcache/cache.py
+        # KVCache8/KVCache4): halves/quarters the decode-attention HBM stream,
+        # which rivals the weight stream at batch (and caps the batch that
+        # fits in HBM). Draft KV stays float (it is tiny).
         self.kv_quant = None if kv_quant == "none" else kv_quant
         if mesh is not None:
             from ..parallel.sharding import check_tp_divisibility
@@ -167,7 +168,9 @@ class SpecEngine:
         # with a bf16/quantized target must not inherit the target's dtype.
         draft_kv = KVCache.init(
             self.draft_cfg, self.max_length, self.draft_params.embed.dtype)
-        target_cache_cls = KVCache8 if self.kv_quant == "int8" else KVCache
+        target_cache_cls = {
+            "int8": KVCache8, "int4": KVCache4, None: KVCache
+        }[self.kv_quant]
         target_kv = target_cache_cls.init(self.target_cfg, self.max_length, kv_dtype)
         if self.mesh is not None:
             from ..parallel.sharding import shard_kv

@@ -109,9 +109,80 @@ class KVCache8(NamedTuple):
         return KVCache8(k=k, v=v, ks=ks, vs=vs)
 
 
+class KVCache4(NamedTuple):
+    """int4-packed KV cache: per-row, per-kv-head symmetric scales.
+
+    Same exact-fold-into-attention scheme as `KVCache8` at half the bytes:
+    at serving batch the KV stream is what caps the batch that fits in HBM
+    (int8 KV is what let B=16 fit on one v5e chip for llama-2-7b; int4
+    doubles that again). 4-bit rows are coarser — acceptance rates should be
+    re-measured at this precision (SURVEY.md §7.3, planner inputs are
+    precision-dependent).
+
+    Packing: HALF-SPLIT along head_dim, matching the int4 weight layout
+    (`quant/qtensor.py::quantize_int4`): packed byte d holds row value d in
+    the low nibble and value D/2 + d in the high nibble, so unpacking is two
+    shifts + a concat — no interleave.
+
+    k/v:   int8 [L, M, Hkv, D/2] (two int4 per byte)
+    ks/vs: f32  [L, M, Hkv]
+    """
+
+    k: jax.Array
+    v: jax.Array
+    ks: jax.Array
+    vs: jax.Array
+
+    @property
+    def max_length(self) -> int:
+        return self.k.shape[1]
+
+    @staticmethod
+    def init(cfg: LlamaConfig, max_length: int, dtype=None) -> "KVCache4":
+        assert cfg.head_dim_ % 2 == 0, "int4 KV packing needs even head_dim"
+        shape = (cfg.num_layers, max_length, cfg.num_kv_heads, cfg.head_dim_ // 2)
+        sshape = shape[:-1]
+        return KVCache4(
+            k=jnp.zeros(shape, jnp.int8),
+            v=jnp.zeros(shape, jnp.int8),
+            ks=jnp.zeros(sshape, jnp.float32),
+            vs=jnp.zeros(sshape, jnp.float32),
+        )
+
+    def compact(self, slots: jax.Array, dest_offset) -> "KVCache4":
+        k = jax.lax.dynamic_update_slice(
+            self.k, jnp.take(self.k, slots, axis=1), (0, dest_offset, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            self.v, jnp.take(self.v, slots, axis=1), (0, dest_offset, 0, 0))
+        ks = jax.lax.dynamic_update_slice(
+            self.ks, jnp.take(self.ks, slots, axis=1), (0, dest_offset, 0))
+        vs = jax.lax.dynamic_update_slice(
+            self.vs, jnp.take(self.vs, slots, axis=1), (0, dest_offset, 0))
+        return KVCache4(k=k, v=v, ks=ks, vs=vs)
+
+
 def quantize_kv_rows(x: jax.Array):
     """x: float [Q, Hkv, D] -> (int8 rows, f32 scales [Q, Hkv])."""
     xf = x.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
     q = jnp.round(xf / scale[..., None]).astype(jnp.int8)
     return q, scale
+
+
+def quantize_kv_rows4(x: jax.Array):
+    """x: float [Q, Hkv, D] -> (packed int4 rows [Q, Hkv, D/2], f32 scales
+    [Q, Hkv]). Half-split packing (see `KVCache4`)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 7.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
+    half = q.shape[-1] // 2
+    lo = q[..., :half] & 0x0F
+    hi = q[..., half:] << 4
+    return (lo | hi).astype(jnp.int8), scale
+
+
+def unpack_kv_rows4(packed: jax.Array) -> jax.Array:
+    """packed int8 [..., D/2] -> int8 values [..., D] (sign-extended)."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: sign-extends
+    hi = jnp.right_shift(packed, 4)
+    return jnp.concatenate([lo, hi], axis=-1)

@@ -1,5 +1,6 @@
-"""int8 KV cache (KVCache8): numerical closeness to the float cache, scale
-movement under compaction, and the engine end-to-end with kv_quant."""
+"""int8/int4 KV caches (KVCache8/KVCache4): numerical closeness to the float
+cache, pack/unpack exactness, scale movement under compaction, and the engine
+end-to-end with kv_quant."""
 
 import numpy as np
 import pytest
@@ -11,7 +12,14 @@ from sequoia_tpu.core.config import get_config
 from sequoia_tpu.core.init import random_params
 from sequoia_tpu.core.model import forward
 from sequoia_tpu.engine.engine import SpecEngine
-from sequoia_tpu.kvcache.cache import KVCache, KVCache8, quantize_kv_rows
+from sequoia_tpu.kvcache.cache import (
+    KVCache,
+    KVCache4,
+    KVCache8,
+    quantize_kv_rows,
+    quantize_kv_rows4,
+    unpack_kv_rows4,
+)
 from sequoia_tpu.ops import masks
 from sequoia_tpu.trees.growmap import uniform_tree
 
@@ -58,6 +66,40 @@ def test_forward_close_to_float_cache(model):
     assert (np.argmax(got, -1) == np.argmax(ref, -1)).mean() >= 2 / 3
 
 
+def test_pack_unpack_int4_exact():
+    """Every int4 value in [-7, 7] survives the half-split pack/unpack."""
+    rng = np.random.default_rng(2)
+    x = rng.integers(-7, 8, size=(4, 3, 16)).astype(np.float32)
+    # Feed values already on the grid with a known scale: amax 7 -> scale 1.
+    x[..., 0] = 7.0
+    packed, scale = quantize_kv_rows4(jnp.asarray(x))
+    assert packed.shape == (4, 3, 8) and packed.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(scale), 1.0)
+    back = np.asarray(unpack_kv_rows4(packed), np.float32)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_quantize_kv_rows4_error_bound():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(5, 2, 16)) * 3.0, jnp.float32)
+    q, s = quantize_kv_rows4(x)
+    back = np.asarray(unpack_kv_rows4(q), np.float32) * np.asarray(s)[..., None]
+    err = np.abs(back - np.asarray(x)).max(axis=-1)
+    # Max rounding error is scale/2 = amax/14 per row.
+    bound = np.abs(np.asarray(x)).max(axis=-1) / 14 + 1e-6
+    assert (err <= bound).all()
+
+
+def test_forward_close_to_float_cache_int4(model):
+    cfg, params = model
+    ref, _ = _run_two_steps(cfg, params, KVCache.init(cfg, 32, jnp.float32))
+    got, _ = _run_two_steps(cfg, params, KVCache4.init(cfg, 32))
+    # 4-bit rows are coarse; demand same top-1 on most positions and bounded
+    # drift (these are random tiny-model logits, the hardest case).
+    np.testing.assert_allclose(got, ref, rtol=0.5, atol=0.6)
+    assert (np.argmax(got, -1) == np.argmax(ref, -1)).mean() >= 2 / 3
+
+
 def test_compact_moves_scales_with_rows(model):
     cfg, _ = model
     cache = KVCache8.init(cfg, 16)
@@ -77,14 +119,15 @@ def test_compact_moves_scales_with_rows(model):
     np.testing.assert_array_equal(np.asarray(out.k[:, :5]), np.asarray(q[:, :5]))
 
 
+@pytest.mark.parametrize("kv_quant", ["int8", "int4"])
 @pytest.mark.parametrize("algo", ["greedy", "sequoia"])
-def test_engine_runs_with_kv_quant(model, algo):
+def test_engine_runs_with_kv_quant(model, algo, kv_quant):
     cfg, params = model
     target = random_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
     gm = uniform_tree(3, 2)
     eng = SpecEngine(params, cfg, target, cfg, gm, algorithm=algo,
                      max_length=96, temperature=0.7, top_p=0.9,
-                     prefill_chunk=16, kv_quant="int8")
+                     prefill_chunk=16, kv_quant=kv_quant)
     prompt = np.array([11, 23, 5, 99, 42, 7])
     out = eng.generate(prompt, max_new_tokens=20, seed=0)
     assert len(out) > len(prompt)

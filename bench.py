@@ -304,6 +304,15 @@ def main() -> None:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: over the remote-compile TPU tunnel a
+    # single jit compile costs 30-90 s wall-clock, and every process starts
+    # cold. Caching compiled executables on local disk makes warm bench runs
+    # start in seconds instead of tens of minutes.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from sequoia_tpu.core.config import get_config

@@ -9,10 +9,13 @@ full finalize, plus the carried-full-iteration loop, to find the residue.
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def log(*a):
@@ -27,6 +30,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from sequoia_tpu.core.config import get_config
@@ -66,11 +74,6 @@ def main():
     vfin = jax.vmap(eng._finalize_impl, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
     vit = jax.vmap(eng._iterate_impl, in_axes=(None, None, 0))
 
-    g = jax.jit(vgrow)(dparams, bstate)
-    tokens_tree, draft_logits, tokens_buf, draft_kv, key = g
-    tl, tkv = jax.jit(vtarget)(tparams, bstate, tokens_tree)
-    jax.block_until_ready((tokens_tree, tl.astype(jnp.float32)))
-
     def timed(name, f, *fargs):
         @jax.jit
         def loop(*a):
@@ -104,6 +107,14 @@ def main():
     float(floop(jnp.asarray(R, jnp.int32), dparams, tparams, bstate)
           .tokens.astype(jnp.float32).sum())
     log(f"{'full (carried)':26s}: {(time.perf_counter()-t0)/R*1e3:8.3f} ms")
+
+    # Capture phase inputs AFTER the big carried loop so we never hold the
+    # loop temporaries and a second target KV at the same time (OOM at B=32
+    # int8: params 7 GB + 2 x 2.1 GB caches + loop temps).
+    g = jax.jit(vgrow)(dparams, bstate)
+    tokens_tree, draft_logits, tokens_buf, draft_kv, key = g
+    tl, tkv = jax.jit(vtarget)(tparams, bstate, tokens_tree)
+    jax.block_until_ready((tokens_tree, tl.astype(jnp.float32)))
 
     # --- phases in isolation ----------------------------------------------
     timed("grow", lambda i, dp, s: vgrow(dp, pert(s, i))[0], dparams, bstate)

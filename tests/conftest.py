@@ -22,3 +22,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compile cache: the suite jit-compiles hundreds of programs;
+# caching them across runs cuts repeat wall-clock substantially.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache_cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass

@@ -87,9 +87,13 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
             kv_quant=args.batched_kv_quant,
         )
         bstate = beng.prefill_batch([prompt] * B)
-        vit = jax.vmap(beng._iterate_impl, in_axes=(None, None, 0))
-        vgrow = jax.vmap(beng._grow_impl, in_axes=(None, 0))
-        vtgt = jax.vmap(beng._target_impl, in_axes=(None, 0, 0))
+        sax = beng.state_axes  # cache leaves batch on axis 1 (see BatchedSpecEngine)
+        vit = jax.vmap(beng._iterate_impl, in_axes=(None, None, sax),
+                       out_axes=(sax, 0))
+        vgrow = jax.vmap(beng._grow_impl, in_axes=(None, sax),
+                         out_axes=(0, 0, 0, sax.draft_kv, 0))
+        vtgt = jax.vmap(beng._target_impl, in_axes=(None, sax, 0),
+                        out_axes=(0, sax.target_kv))
         tok_tree = jax.jit(lambda dp, s: vgrow(dp, s)[0])(draft_params, bstate)
 
         def timed(f, *fargs):
@@ -203,7 +207,14 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     def ar_step(tp, tokens, pos, kv):
         return _fwd(tp, target_cfg, tokens, pos, kv, kv_len, amask)
 
-    var_step = jax.vmap(ar_step, in_axes=(None, 0, 0, 0))
+    from sequoia_tpu.kvcache.cache import KVCache4 as _KV4
+
+    _cache_cls = {"int8": _KV8, "int4": _KV4, "none": _KV}[args.batched_kv_quant]
+    # Cache batches on axis 1 so the layer scan keeps its leading axis (no
+    # vmap transposes of the full cache — see BatchedSpecEngine docstring).
+    kv_ax = _cache_cls(*([1] * len(_cache_cls._fields)))
+    var_step = jax.vmap(ar_step, in_axes=(None, 0, 0, kv_ax),
+                        out_axes=(0, kv_ax))
 
     # params must be a jit ARGUMENT — a closure would capture the multi-GB
     # weights as compile constants (rejected by the remote-compile tunnel)
@@ -218,11 +229,9 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
             0, R, body, (bt, kv, jnp.asarray(0.0, jnp.float32)))
         return acc
 
-    from sequoia_tpu.kvcache.cache import KVCache4 as _KV4
-
-    _cache_cls = {"int8": _KV8, "int4": _KV4, "none": _KV}[args.batched_kv_quant]
     bkv = jax.vmap(lambda _: _cache_cls.init(target_cfg, args.max_length,
-                                             jnp.bfloat16))(jnp.arange(B))
+                                             jnp.bfloat16),
+                   out_axes=kv_ax)(jnp.arange(B))
     float(arloop(target_params, btoks, bpos, bkv))
     t0 = time.perf_counter()
     float(arloop(target_params, btoks, bpos, bkv))

@@ -28,13 +28,28 @@ from .engine import DecodeState, SpecEngine
 
 
 class BatchedSpecEngine(SpecEngine):
-    """`SpecEngine` with a leading batch axis over independent requests."""
+    """`SpecEngine` with a batch axis over independent requests.
+
+    Batch-axis placement: KV-cache leaves `[L, ...]` are batched on AXIS 1
+    (`[L, B, M, Hkv, D]`), everything else on axis 0. The model's per-layer
+    decode loop is a `lax.scan` over the leading layer axis; with the batch
+    leading instead, vmap must transpose every cache into `[L, B, ...]`
+    layout on the way into the scan and back out — measured on v5e at B=32
+    int8 (HLO: `vmap()/transpose` copies of the full s8[32,32,256,32,128]
+    cache): 4+ full-cache layout copies per iteration, and the scan carries
+    BOTH cache versions (why bf16 KV OOMed at B=16). Batching the cache on
+    axis 1 keeps the scanned axis leading — no transposes, single carry.
+    `state_axes` is the vmap in/out_axes pytree for `_iterate_impl`-shaped
+    state; use it for any external vmap over engine internals."""
 
     def __init__(self, *args, batch_size: int = 4, **kwargs) -> None:
         super().__init__(*args, **kwargs)
         self.batch_size = batch_size
+        self.state_axes = self._make_state_axes()
         self._biterate = jax.jit(
-            jax.vmap(self._iterate_impl, in_axes=(None, None, 0)),
+            jax.vmap(self._iterate_impl,
+                     in_axes=(None, None, self.state_axes),
+                     out_axes=(self.state_axes, 0)),
             donate_argnums=(2,),
         )
         self._insert_slot_fn = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
@@ -47,9 +62,30 @@ class BatchedSpecEngine(SpecEngine):
             functools.partial(self._bserve_loop_impl, until_all=True),
             donate_argnums=(2,))
 
-    @staticmethod
-    def _insert_slot_impl(bstate: DecodeState, sstate: DecodeState, slot) -> DecodeState:
-        return jax.tree.map(lambda b, s: b.at[slot].set(s), bstate, sstate)
+    def _make_state_axes(self) -> DecodeState:
+        """vmap axes pytree: cache leaves batch on axis 1 (layer axis stays
+        leading for the scan), everything else on axis 0."""
+        template = jax.eval_shape(
+            lambda: self._fresh_state(jax.random.PRNGKey(0),
+                                      self.target_params.embed.dtype))
+        kv_axes = lambda kv: type(kv)(*([1] * len(kv)))
+        return DecodeState(
+            tokens=0, gtl=0,
+            draft_kv=kv_axes(template.draft_kv),
+            target_kv=kv_axes(template.target_kv),
+            root_draft_logits=0, key=0, terminal=0,
+        )
+
+    def _insert_slot_impl(self, bstate: DecodeState, sstate: DecodeState, slot) -> DecodeState:
+        return jax.tree.map(
+            lambda ax, b, s: jax.lax.dynamic_update_index_in_dim(b, s, slot, ax),
+            self.state_axes, bstate, sstate,
+        )
+
+    def _stack_states(self, states: Sequence[DecodeState]) -> DecodeState:
+        return jax.tree.map(
+            lambda ax, *xs: jnp.stack(xs, axis=ax), self.state_axes, *states
+        )
 
     def prefill_batch(self, prompts: Sequence[np.ndarray], seed: int = 0) -> DecodeState:
         """Prefill `batch_size` prompts into one batched state. Each slot is
@@ -58,7 +94,7 @@ class BatchedSpecEngine(SpecEngine):
         batched iteration."""
         assert len(prompts) == self.batch_size
         states = [self.prefill(p, seed=seed + i) for i, p in enumerate(prompts)]
-        return self._shard(jax.tree.map(lambda *xs: jnp.stack(xs), *states))
+        return self._shard(self._stack_states(states))
 
     def _shard(self, bstate: DecodeState) -> DecodeState:
         if self.mesh is not None and "dp" in self.mesh.shape and self.mesh.shape["dp"] > 1:
@@ -170,7 +206,9 @@ class BatchedSpecEngine(SpecEngine):
             state, produced, done, steps = carry
             frozen = done | ~active
             nstate, stats = jax.vmap(
-                self._iterate_impl, in_axes=(None, None, 0)
+                self._iterate_impl,
+                in_axes=(None, None, self.state_axes),
+                out_axes=(self.state_axes, 0),
             )(dparams, tparams, state)
             nstate = nstate._replace(
                 tokens=jnp.where(frozen[:, None], state.tokens, nstate.tokens),
@@ -236,7 +274,7 @@ class BatchedSpecEngine(SpecEngine):
                 init_states.append(self.prefill(prompt, seed=seed + rid))
             else:
                 init_states.append(self.prefill(np.zeros(1, np.int32), seed=seed))
-        state = self._shard(jax.tree.map(lambda *xs: jnp.stack(xs), *init_states))
+        state = self._shard(self._stack_states(init_states))
         produced = jnp.zeros((B,), jnp.int32)
         done = jnp.zeros((B,), bool)
         active_np = np.asarray([r >= 0 for r in slot_req])
@@ -302,7 +340,7 @@ class BatchedSpecEngine(SpecEngine):
                 init_states.append(self.prefill(prompt, seed=seed + rid))
             else:
                 init_states.append(self.prefill(np.zeros(1, np.int32), seed=seed))
-        state = self._shard(jax.tree.map(lambda *xs: jnp.stack(xs), *init_states))
+        state = self._shard(self._stack_states(init_states))
 
         self.num_decoding_steps = 0
         self.num_large_model_steps = 0

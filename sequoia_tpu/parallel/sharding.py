@@ -120,10 +120,10 @@ def shard_batched_state(state, mesh: Mesh):
     def spec_for(leaf):
         if leaf.ndim == 0:
             return P()
-        if leaf.ndim == 5:  # batched KV rows: [B, L, M, Hkv, D]
-            return P("dp", None, None, "tp", None)
-        if leaf.ndim == 4:  # batched int8-KV scales: [B, L, M, Hkv]
-            return P("dp", None, None, "tp")
+        if leaf.ndim == 5:  # batched KV rows: [L, B, M, Hkv, D] (batch=axis 1,
+            return P(None, "dp", None, "tp", None)  # see BatchedSpecEngine)
+        if leaf.ndim == 4:  # batched int8/int4-KV scales: [L, B, M, Hkv]
+            return P(None, "dp", None, "tp")
         return P("dp", *([None] * (leaf.ndim - 1)))
 
     return jax.tree.map(

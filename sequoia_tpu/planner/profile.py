@@ -71,8 +71,13 @@ def time_forward_widths(
     def one_step(params, tokens, pos, kv, mask):
         return forward(params, cfg, tokens, pos, kv, kv_len, mask)
 
+    # Cache batches on AXIS 1 so the model's layer scan keeps its leading
+    # axis — batch-leading caches make vmap insert full-cache layout
+    # transposes around the scan (see BatchedSpecEngine docstring).
+    kv_ax = KVCache(k=1, v=1)
     if batch > 1:
-        one_step = jax.vmap(one_step, in_axes=(None, 0, 0, 0, None))
+        one_step = jax.vmap(one_step, in_axes=(None, 0, 0, kv_ax, None),
+                            out_axes=(0, kv_ax))
 
     def reps_loop(params, tokens, pos, kv, mask, n):
         def body(i, carry):
@@ -92,7 +97,7 @@ def time_forward_widths(
     def fresh_kv():
         if batch > 1:
             return jax.vmap(
-                lambda _: KVCache.init(cfg, max_length, dtype)
+                lambda _: KVCache.init(cfg, max_length, dtype), out_axes=kv_ax
             )(jnp.arange(batch))
         return KVCache.init(cfg, max_length, dtype)
 

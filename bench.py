@@ -90,10 +90,15 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
         sax = beng.state_axes  # cache leaves batch on axis 1 (see BatchedSpecEngine)
         vit = jax.vmap(beng._iterate_impl, in_axes=(None, None, sax),
                        out_axes=(sax, 0))
+        from sequoia_tpu.kvcache.cache import KVCache as _KVc
+
+        # grow/target return SCRATCH caches (plain float KVCache, [L, S, ...])
+        # regardless of the main cache's quantization.
+        scr_ax = _KVc(k=1, v=1)
         vgrow = jax.vmap(beng._grow_impl, in_axes=(None, sax),
-                         out_axes=(0, 0, 0, sax.draft_kv, 0))
+                         out_axes=(0, 0, 0, scr_ax, 0))
         vtgt = jax.vmap(beng._target_impl, in_axes=(None, sax, 0),
-                        out_axes=(0, sax.target_kv))
+                        out_axes=(0, scr_ax))
         tok_tree = jax.jit(lambda dp, s: vgrow(dp, s)[0])(draft_params, bstate)
 
         def timed(f, *fargs):

@@ -26,7 +26,7 @@ Design points:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -123,17 +123,39 @@ def forward(
     kv: KVCache,
     cache_offset,             # i32 scalar: queries occupy slots [offset, offset+Q)
     attn_mask: jax.Array,     # bool [Q, max_length]; True = attend
-) -> Tuple[jax.Array, KVCache]:
-    """Returns (`logits` f32 `[Q, vocab]`, updated cache)."""
+    scratch: Optional[KVCache] = None,   # small [L, S, Hkv, D] tree scratch
+    scratch_offset=None,      # i32 scalar: queries' slots within the scratch
+    scratch_mask: Optional[jax.Array] = None,  # bool [Q, S]
+):
+    """Returns (`logits` f32 `[Q, vocab]`, updated cache-or-scratch).
+
+    Two write modes:
+    - `scratch is None` (prefill / autoregressive / bonus re-draft): new K/V
+      rows go into the MAIN cache at `[cache_offset, cache_offset+Q)`;
+      returns `(logits, updated_kv)`.
+    - `scratch` given (tree grow / verify): the main cache is READ-ONLY;
+      new rows go into the small scratch at `[scratch_offset, +Q)` and
+      attention runs over main ∪ scratch with the pair of masks. Returns
+      `(logits, updated_scratch)`. Keeping the main cache read-only here is
+      a load-bearing perf property: compacting accepted rows out of the
+      main cache (gather-from + scatter-into the SAME buffer,
+      `Engine/Llama_KV.py:60-68` semantics) forced XLA to defensively copy
+      the whole cache every iteration (measured ~16 ms/copy at B=32 int8
+      on v5e); with tree rows in a separate scratch, the commit is a small
+      different-buffer row scatter and the main cache is never rewritten.
+    """
     Q = tokens.shape[0]
     H, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_
     G = cfg.q_per_kv
     scale = D ** -0.5
+    split = scratch is not None
 
     hidden = params.embed[tokens]  # [Q, E]
     cos, sin = rope_cos_sin(position_ids, cfg)
     # Additive f32 mask, broadcast over heads.
     bias = jnp.where(attn_mask, 0.0, NEG_INF).astype(jnp.float32)  # [Q, M]
+    if split:
+        bias_scr = jnp.where(scratch_mask, 0.0, NEG_INF).astype(jnp.float32)
 
     quantized_kv = isinstance(kv, (KVCache8, KVCache4))
     int4_kv = isinstance(kv, KVCache4)
@@ -141,9 +163,9 @@ def forward(
 
     def layer_step(hidden, xs):
         if quantized_kv:
-            lp, k_cache, v_cache, ks_c, vs_c = xs  # rows int8, scales [M, Hkv]
+            lp, k_cache, v_cache, ks_c, vs_c, *scr = xs  # rows int, scales [M, Hkv]
         else:
-            lp, k_cache, v_cache = xs  # k/v_cache: [M, Hkv, D]
+            lp, k_cache, v_cache, *scr = xs  # k/v_cache: [M, Hkv, D]
 
         x = rms_norm(hidden, lp.attn_norm, cfg.rms_norm_eps)
         q = qmm(x, lp.wq).reshape(Q, H, D)
@@ -152,7 +174,13 @@ def forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        if quantized_kv:
+        if split:
+            sk, sv = scr  # scratch slices [S, Hkv, D], compute dtype
+            sk = jax.lax.dynamic_update_slice(
+                sk, k.astype(sk.dtype), (scratch_offset, 0, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, v.astype(sv.dtype), (scratch_offset, 0, 0))
+        elif quantized_kv:
             kq, k_sc = quantize_rows(k)
             vq, v_sc = quantize_rows(v)
             k_cache = jax.lax.dynamic_update_slice(k_cache, kq, (cache_offset, 0, 0))
@@ -179,16 +207,15 @@ def forward(
             ) * scale
             scores = scores * ks_c.T[:, None, None, :]
             scores = scores + bias[None, None, :, :]
-            probs = jax.nn.softmax(scores, axis=-1)
-            pv = (probs * vs_c.T[:, None, None, :]).astype(hidden.dtype)
-            attn = jnp.einsum("hgqm,mhd->qhgd", pv, vi.astype(hidden.dtype))
-        elif cfg.attention_impl == "xla":
+            vf = vi.astype(hidden.dtype)
+            v_scale = vs_c.T[:, None, None, :]
+        elif cfg.attention_impl == "xla" or split:
             scores = jnp.einsum(
                 "qhgd,mhd->hgqm", qg, k_cache, preferred_element_type=jnp.float32
             ) * scale                              # [Hkv, G, Q, M] f32
             scores = scores + bias[None, None, :, :]
-            probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
-            attn = jnp.einsum("hgqm,mhd->qhgd", probs, v_cache)
+            vf = v_cache
+            v_scale = None
         else:
             from ..kernels.tree_attention import tree_attention
 
@@ -196,12 +223,39 @@ def forward(
                 qg, k_cache, v_cache, attn_mask,
                 interpret=(cfg.attention_impl == "pallas_interpret"),
             )
+            attn = attn.reshape(Q, H * D)
+            hidden = hidden + qmm(attn, lp.wo)
+            y = rms_norm(hidden, lp.mlp_norm, cfg.rms_norm_eps)
+            mlp = qmm(jax.nn.silu(qmm(y, lp.w_gate)) * qmm(y, lp.w_up), lp.w_down)
+            return hidden + mlp, (k_cache, v_cache)
+
+        if split:
+            scores_scr = jnp.einsum(
+                "qhgd,shd->hgqs", qg, sk, preferred_element_type=jnp.float32
+            ) * scale
+            scores_scr = scores_scr + bias_scr[None, None, :, :]
+            M = scores.shape[-1]
+            full = jax.nn.softmax(
+                jnp.concatenate([scores, scores_scr], axis=-1), axis=-1)
+            probs, probs_scr = full[..., :M], full[..., M:]
+            pm = probs * v_scale if v_scale is not None else probs
+            attn = jnp.einsum(
+                "hgqm,mhd->qhgd", pm.astype(hidden.dtype), vf
+            ) + jnp.einsum(
+                "hgqs,shd->qhgd", probs_scr.astype(hidden.dtype), sv
+            )
+        else:
+            probs = jax.nn.softmax(scores, axis=-1)
+            pm = probs * v_scale if v_scale is not None else probs
+            attn = jnp.einsum("hgqm,mhd->qhgd", pm.astype(hidden.dtype), vf)
         attn = attn.reshape(Q, H * D)
         hidden = hidden + qmm(attn, lp.wo)
 
         y = rms_norm(hidden, lp.mlp_norm, cfg.rms_norm_eps)
         mlp = qmm(jax.nn.silu(qmm(y, lp.w_gate)) * qmm(y, lp.w_up), lp.w_down)
         hidden = hidden + mlp
+        if split:
+            return hidden, (sk, sv)
         if quantized_kv:
             return hidden, (k_cache, v_cache, ks_c, vs_c)
         return hidden, (k_cache, v_cache)
@@ -212,16 +266,23 @@ def forward(
     # speculation cost (planner draft_time sensitivity: SURVEY.md §3.3).
     unroll = cfg.num_layers if cfg.num_layers <= 12 else 1
     if quantized_kv:
-        hidden, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-            layer_step, hidden, (params.layers, kv.k, kv.v, kv.ks, kv.vs),
-            unroll=unroll,
-        )
-        new_kv = type(kv)(k=new_k, v=new_v, ks=new_ks, vs=new_vs)
+        xs = (params.layers, kv.k, kv.v, kv.ks, kv.vs)
     else:
-        hidden, (new_k, new_v) = jax.lax.scan(
-            layer_step, hidden, (params.layers, kv.k, kv.v), unroll=unroll
+        xs = (params.layers, kv.k, kv.v)
+    if split:
+        xs = xs + (scratch.k, scratch.v)
+        hidden, (new_sk, new_sv) = jax.lax.scan(
+            layer_step, hidden, xs, unroll=unroll
         )
-        new_kv = KVCache(k=new_k, v=new_v)
+        new_state = KVCache(k=new_sk, v=new_sv)
+    elif quantized_kv:
+        hidden, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
+            layer_step, hidden, xs, unroll=unroll,
+        )
+        new_state = type(kv)(k=new_k, v=new_v, ks=new_ks, vs=new_vs)
+    else:
+        hidden, (new_k, new_v) = jax.lax.scan(layer_step, hidden, xs, unroll=unroll)
+        new_state = KVCache(k=new_k, v=new_v)
     hidden = rms_norm(hidden, params.final_norm, cfg.rms_norm_eps)
     logits = qmm(hidden, params.lm_head, preferred_element_type=jnp.float32)
-    return logits, new_kv
+    return logits, new_state

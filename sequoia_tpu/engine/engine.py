@@ -263,8 +263,11 @@ class SpecEngine:
         return samples.reshape(-1)[self._level_gather[level]].astype(jnp.int32)
 
     def _grow_impl(self, draft_params, state: DecodeState):
-        """Draft tree growth, level by level (static unroll). Returns
-        `(tokens_tree, draft_logits, tokens_buf, draft_kv, key)`."""
+        """Draft tree growth, level by level (static unroll). Tree-node K/V
+        rows go into a small scratch (`[L, size, Hkv, D]`, slot i = node i)
+        while the main draft cache stays READ-ONLY — see
+        `core/model.py::forward` split mode for why this matters. Returns
+        `(tokens_tree, draft_logits, tokens_buf, draft_scratch, key)`."""
         gm_size = self.tree_size
         ts = state.gtl - 1  # slot of tree node 0
         key = state.key
@@ -277,7 +280,8 @@ class SpecEngine:
             jax.lax.dynamic_index_in_dim(state.tokens, ts, keepdims=False)
         )
         tokens_buf = state.tokens
-        draft_kv = state.draft_kv
+        dscratch = KVCache.init(
+            self.draft_cfg, gm_size, self.draft_params.embed.dtype)
 
         for lvl in range(self.growmap.num_grow_steps):
             w = self._level_widths[lvl]
@@ -289,24 +293,33 @@ class SpecEngine:
             tokens_tree = jax.lax.dynamic_update_slice(tokens_tree, new_tokens, (start,))
             tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, new_tokens, (ts + start,))
             positions = ts + self._depth[start : start + w]
-            mask = masks.tree_mask_rows(self._anc[start : start + w], ts, M)
-            lvl_logits, draft_kv = forward(
+            main_mask, scr_mask = masks.split_tree_masks(
+                self._anc[start : start + w], ts, M, root_in_main=True)
+            lvl_logits, dscratch = forward(
                 draft_params, self.draft_cfg, new_tokens, positions,
-                draft_kv, ts + start, mask,
+                state.draft_kv, ts + start, main_mask,
+                scratch=dscratch, scratch_offset=start, scratch_mask=scr_mask,
             )
             draft_logits = jax.lax.dynamic_update_slice(
                 draft_logits, lvl_logits.astype(jnp.float32), (start, 0)
             )
-        return tokens_tree, draft_logits, tokens_buf, draft_kv, key
+        return tokens_tree, draft_logits, tokens_buf, dscratch, key
 
     def _target_impl(self, target_params, state: DecodeState, tokens_tree):
-        """Target verify forward over the whole tree."""
+        """Target verify forward over the whole tree. Rows (incl. the root,
+        whose target K/V the main cache does not yet have — the bonus token
+        never went through the target) land in a scratch; the main cache is
+        read-only. Returns `(logits, target_scratch)`."""
         ts = state.gtl - 1
         positions = ts + self._depth
-        mask = masks.tree_mask_rows(self._anc, ts, self.max_length)
+        main_mask, scr_mask = masks.split_tree_masks(
+            self._anc, ts, self.max_length, root_in_main=False)
+        tscratch = KVCache.init(
+            self.target_cfg, self.tree_size, self.target_params.embed.dtype)
         return forward(
             target_params, self.target_cfg, tokens_tree, positions,
-            state.target_kv, ts, mask,
+            state.target_kv, ts, main_mask,
+            scratch=tscratch, scratch_offset=0, scratch_mask=scr_mask,
         )
 
     def _iterate_impl(
@@ -315,13 +328,13 @@ class SpecEngine:
         target_params: LlamaParams,
         state: DecodeState,
     ) -> Tuple[DecodeState, StepStats]:
-        tokens_tree, draft_logits, tokens_buf, draft_kv, key = self._grow_impl(
+        tokens_tree, draft_logits, tokens_buf, dscratch, key = self._grow_impl(
             draft_params, state
         )
-        target_logits, target_kv = self._target_impl(target_params, state, tokens_tree)
+        target_logits, tscratch = self._target_impl(target_params, state, tokens_tree)
         return self._finalize_impl(
             draft_params, state, tokens_tree, draft_logits, tokens_buf,
-            draft_kv, key, target_logits, target_kv,
+            dscratch, key, target_logits, tscratch,
         )
 
     def _finalize_impl(
@@ -331,12 +344,13 @@ class SpecEngine:
         tokens_tree,
         draft_logits,
         tokens_buf,
-        draft_kv,
+        dscratch,
         key,
         target_logits,
-        target_kv,
+        tscratch,
     ) -> Tuple[DecodeState, StepStats]:
-        """Accept walk + commit + KV compaction + bonus re-draft."""
+        """Accept walk + commit (tokens + scratch-row KV writes) + bonus
+        re-draft."""
         gm_size = self.tree_size
         gtl = state.gtl
         ts = gtl - 1
@@ -394,11 +408,18 @@ class SpecEngine:
         block = block.at[path.accept_count].set(jnp.where(has_bonus, bonus, block[path.accept_count]))
         tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, block, (gtl,))
 
-        # --- KV compaction (both caches) ---------------------------------
-        slots = ts + path_c  # padded rows duplicate the root row; they are
-        # re-written before ever becoming visible (see kvcache/cache.py).
-        draft_kv = draft_kv.compact(slots, gtl)
-        target_kv = target_kv.compact(slots, gtl)
+        # --- KV commit: scratch rows -> main caches -----------------------
+        # Target: the verify computed fresh K/V for the ROOT (slot ts was
+        # stale — the bonus token never went through the target) and for
+        # every tree node; write [root] + accepted path to [ts, ts+1+md).
+        # Draft: the root's draft K/V is already in main (bonus re-draft of
+        # the previous iteration); write the accepted path to [gtl, gtl+md).
+        # Padded rows duplicate the root/node-0 row; they land at slots >=
+        # the new committed length and are re-written before ever becoming
+        # visible (masks are generated from (gtl, topology) each step).
+        target_kv = state.target_kv.commit_rows(
+            tscratch, jnp.concatenate([jnp.zeros((1,), jnp.int32), path_c]), ts)
+        draft_kv = state.draft_kv.commit_rows(dscratch, path_c, gtl)
 
         new_gtl = gtl + emitted
         new_ts = new_gtl - 1

@@ -41,6 +41,35 @@ def tree_mask_rows(
     return jax.lax.dynamic_update_slice(prefix_mask, ancestor_rows, (0, tree_start))
 
 
+def split_tree_masks(
+    ancestor_rows,   # bool [Q, tree_size] — static growmap slice (np or jnp)
+    tree_start,      # i32 scalar: slot of tree node 0 (= gtl - 1)
+    max_length: int,
+    root_in_main: bool,
+):
+    """Masks for the split-cache layout (`core/model.py::forward` with
+    `scratch=`): tree-node K/V rows live in a small scratch (slot i = tree
+    node i), committed rows in the main cache.
+
+    Returns `(main_mask [Q, M], scratch_mask [Q, S])`:
+    - draft grow (`root_in_main=True`): the root's draft K/V was written
+      into the main cache at `ts` by the bonus re-draft, so main covers
+      `k <= ts` and scratch column 0 is dropped;
+    - target verify (`root_in_main=False`): the root's target K/V is
+      computed by THIS forward into scratch slot 0 (the row at `ts` is
+      stale — the bonus token never went through the target), so main
+      covers `k < ts` and scratch keeps column 0.
+    """
+    ancestor_rows = jnp.asarray(ancestor_rows)
+    num_queries = ancestor_rows.shape[0]
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (num_queries, max_length), 1)
+    main = (k_idx <= tree_start) if root_in_main else (k_idx < tree_start)
+    scratch = ancestor_rows
+    if root_in_main:
+        scratch = scratch.at[:, 0].set(False)
+    return main, scratch
+
+
 def ancestor_matrix_to_bool(mask_01) -> jax.Array:
     """Growmap `mask` field (`[size, size]` 0/1 ints, row i = ancestors of i
     including itself — `tree_search.py:95-98`) -> bool array."""

@@ -68,22 +68,30 @@ def time_forward_widths(
     than weight-bound, the latency curve steepens with budget, and the DP
     correctly picks a smaller tree."""
 
-    def one_step(params, tokens, pos, kv, mask):
-        return forward(params, cfg, tokens, pos, kv, kv_len, mask)
+    def one_step(params, tokens, pos, kv, mask, scr_mask):
+        # Split mode — the engine's tree forwards keep the main cache
+        # read-only and write rows into a small scratch (core/model.py).
+        w = tokens.shape[0]
+        scratch = KVCache.init(cfg, w, dtype)
+        logits, _ = forward(params, cfg, tokens, pos, kv, kv_len, mask,
+                            scratch=scratch, scratch_offset=0,
+                            scratch_mask=scr_mask)
+        return logits, kv
 
     # Cache batches on AXIS 1 so the model's layer scan keeps its leading
     # axis — batch-leading caches make vmap insert full-cache layout
     # transposes around the scan (see BatchedSpecEngine docstring).
     kv_ax = KVCache(k=1, v=1)
     if batch > 1:
-        one_step = jax.vmap(one_step, in_axes=(None, 0, 0, kv_ax, None),
+        one_step = jax.vmap(one_step, in_axes=(None, 0, 0, kv_ax, None, None),
                             out_axes=(0, kv_ax))
 
-    def reps_loop(params, tokens, pos, kv, mask, n):
+    def reps_loop(params, tokens, pos, kv, mask, scr_mask, n):
         def body(i, carry):
             kv, acc = carry
             # Data-depend on i so XLA cannot hoist the loop-invariant body.
-            logits, kv = one_step(params, tokens + (i % 2), pos, kv, mask)
+            logits, kv = one_step(params, tokens + (i % 2), pos, kv, mask,
+                                  scr_mask)
             return (kv, acc + logits.reshape(-1)[0])
 
         kv, acc = jax.lax.fori_loop(0, n, body, (kv, jnp.asarray(0.0, jnp.float32)))
@@ -108,7 +116,9 @@ def time_forward_widths(
         if batch > 1:
             tokens = jnp.broadcast_to(tokens, (batch, w))
             pos = jnp.broadcast_to(pos, (batch, w))
-        mask = masks.causal_mask(w, max_length, kv_len)
+        mask = jnp.asarray(
+            np.arange(max_length) < kv_len)[None, :].repeat(w, 0)
+        scr_mask = jnp.asarray(np.tril(np.ones((w, w), bool)))
         # `float(...)` (device_get) rather than block_until_ready: on
         # remote-TPU tunnels block_until_ready can return before execution
         # completes (observed on axon), silently timing nothing. Fetching
@@ -119,16 +129,17 @@ def time_forward_widths(
         n1 = jnp.asarray(r1, jnp.int32)
         n2 = jnp.asarray(reps, jnp.int32)
         for i in range(warmup):
-            float(timed(params, tokens + (2 + i), pos, fresh_kv(), mask, n1)[0])
+            float(timed(params, tokens + (2 + i), pos, fresh_kv(), mask,
+                        scr_mask, n1)[0])
         kv = fresh_kv()
         jax.block_until_ready(kv.k)
         t0 = time.perf_counter()
-        float(timed(params, tokens, pos, kv, mask, n1)[0])
+        float(timed(params, tokens, pos, kv, mask, scr_mask, n1)[0])
         t_short = time.perf_counter() - t0
         kv = fresh_kv()
         jax.block_until_ready(kv.k)
         t0 = time.perf_counter()
-        float(timed(params, tokens + 1, pos, kv, mask, n2)[0])
+        float(timed(params, tokens + 1, pos, kv, mask, scr_mask, n2)[0])
         t_long = time.perf_counter() - t0
         out.append((t_long - t_short) / (reps - r1))
     return out

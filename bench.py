@@ -69,7 +69,8 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     bbudgets = (1, 2, 4, 8, 16, 32, 64)
     btt = time_forward_widths(
         target_params, target_cfg, bbudgets, max_length=args.max_length,
-        kv_len=args.prefix_len, reps=20, batch=B)
+        kv_len=args.prefix_len, reps=20, batch=B,
+        kv_quant=args.batched_kv_quant)
     # Batched draft per-level cost, measured the same way (width 4 ~= the
     # typical mid-tree level width).
     bdt = time_forward_widths(

@@ -13,7 +13,7 @@ import json
 import os
 import time
 from functools import partial
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,7 +21,7 @@ import numpy as np
 
 from ..core.config import LlamaConfig
 from ..core.model import LlamaParams, forward
-from ..kvcache.cache import KVCache
+from ..kvcache.cache import KVCache, KVCache4, KVCache8
 from ..ops import masks
 
 
@@ -45,6 +45,7 @@ def time_forward_widths(
     warmup: int = 1,
     reps: int = 50,
     batch: int = 1,
+    kv_quant: Optional[str] = None,
 ) -> List[float]:
     """Wall-clock seconds per forward at each query width (decode position
     `kv_len`), the planner's `target_time` curve. One compile per width
@@ -78,10 +79,16 @@ def time_forward_widths(
                             scratch_mask=scr_mask)
         return logits, kv
 
+    # Match the serving cache precision: a bf16 cache at batch both mis-
+    # measures the engine's int8-KV latency AND can OOM next to the weights
+    # (4.3 GB at B=32 for llama-2-7b vs 2.1 GB int8).
+    cache_cls = {"int8": KVCache8, "int4": KVCache4,
+                 None: KVCache, "none": KVCache}[kv_quant]
+
     # Cache batches on AXIS 1 so the model's layer scan keeps its leading
     # axis — batch-leading caches make vmap insert full-cache layout
     # transposes around the scan (see BatchedSpecEngine docstring).
-    kv_ax = KVCache(k=1, v=1)
+    kv_ax = cache_cls(*([1] * len(cache_cls._fields)))
     if batch > 1:
         one_step = jax.vmap(one_step, in_axes=(None, 0, 0, kv_ax, None, None),
                             out_axes=(0, kv_ax))
@@ -105,9 +112,9 @@ def time_forward_widths(
     def fresh_kv():
         if batch > 1:
             return jax.vmap(
-                lambda _: KVCache.init(cfg, max_length, dtype), out_axes=kv_ax
+                lambda _: cache_cls.init(cfg, max_length, dtype), out_axes=kv_ax
             )(jnp.arange(batch))
-        return KVCache.init(cfg, max_length, dtype)
+        return cache_cls.init(cfg, max_length, dtype)
 
     out = []
     for w in widths:

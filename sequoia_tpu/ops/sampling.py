@@ -111,6 +111,24 @@ def draft_probs(draft_logits: jax.Array, temperature: float) -> jax.Array:
     return jax.nn.softmax(draft_logits.astype(jnp.float32) / temperature, axis=-1)
 
 
+def top_k_indices(x: jax.Array, k: int) -> jax.Array:
+    """Exact top-k indices in descending order. `jax.lax.top_k` lowers to a
+    FULL vocab sort on TPU (measured 6.1 ms per call on [32, 32000] f32 on
+    v5e — 3 such sorts were ~40% of the whole batched spec iteration). For
+    the small static k of tree growth (max branch factor, 1-16) k successive
+    argmax+mask passes are exact and memory-bound (~us each)."""
+    if k > 16:
+        _, idx = jax.lax.top_k(x, k)
+        return idx
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    idxs = []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=-1)
+        idxs.append(i)
+        x = jnp.where(iota == i[..., None], NEG_INF, x)
+    return jnp.stack(idxs, axis=-1)
+
+
 def sample_without_replacement(
     key: jax.Array, logits: jax.Array, temperature: float, num_samples: int
 ) -> jax.Array:
@@ -119,8 +137,7 @@ def sample_without_replacement(
     reference exponential race (`utils.py:10-18`)."""
     log_q = jax.nn.log_softmax(logits.astype(jnp.float32) / temperature, axis=-1)
     gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
-    _, idx = jax.lax.top_k(log_q + gumbel, num_samples)
-    return idx
+    return top_k_indices(log_q + gumbel, num_samples)
 
 
 def sample_with_replacement(
@@ -136,8 +153,7 @@ def sample_with_replacement(
 
 def sample_argmax(logits: jax.Array, num_samples: int) -> jax.Array:
     """Top-k tokens by logit (greedy growth, `utils.py:29-32`)."""
-    _, idx = jax.lax.top_k(logits, num_samples)
-    return idx
+    return top_k_indices(logits, num_samples)
 
 
 def sample_categorical_probs(key: jax.Array, probs: jax.Array) -> jax.Array:

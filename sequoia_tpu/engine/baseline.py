@@ -83,10 +83,19 @@ class ARBaseline:
         tokens = state.tokens.at[state.n].set(token)
         pos = state.n[None].astype(jnp.int32)
         k_idx = jnp.arange(self.max_length, dtype=jnp.int32)[None, :]
-        mask = k_idx <= state.n
-        logits, kv = forward(
-            params, self.cfg, token[None], pos, state.kv, state.n, mask
+        # Split-cache step: the main cache is READ-ONLY inside the layer
+        # scan (write-mode forward re-emits the whole cache as scan ys —
+        # measured ~15 ms/step of pure cache rewrite at B=32 int8 on v5e);
+        # the new token's K/V lands in a 1-row scratch and is committed
+        # with a tiny different-buffer row write afterwards.
+        mask = k_idx < state.n
+        scratch = KVCache.init(self.cfg, 1, params.embed.dtype)
+        logits, scr = forward(
+            params, self.cfg, token[None], pos, state.kv, state.n, mask,
+            scratch=scratch, scratch_offset=jnp.asarray(0, jnp.int32),
+            scratch_mask=jnp.ones((1, 1), bool),
         )
+        kv = state.kv.commit_rows(scr, jnp.zeros((1,), jnp.int32), state.n)
         stop = jnp.isin(token, jnp.asarray(list(self.cfg.stop_tokens), jnp.int32))
         return ARState(
             tokens=tokens,

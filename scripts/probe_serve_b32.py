@@ -26,6 +26,8 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--quant", type=int, default=8, choices=[4, 8],
+                    help="target weight quantization bits")
     ap.add_argument("--kv-quant", default="int8")
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--tree", default="measured",
@@ -52,7 +54,7 @@ def main():
     B = args.batch
     tcfg = get_config("llama-2-7b")
     dcfg = get_config("llama-68m")
-    tparams = random_quantized_model(tcfg, jax.random.PRNGKey(0), bits=8)
+    tparams = random_quantized_model(tcfg, jax.random.PRNGKey(0), bits=args.quant)
     dparams = random_quantized_model(dcfg, jax.random.PRNGKey(1), bits=8)
     jax.block_until_ready((tparams.embed, dparams.embed))
 

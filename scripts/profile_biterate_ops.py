@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tree", default="measured")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--loop", action="store_true",
+                    help="trace the real generate_batch_fast device loop "
+                         "instead of direct _biterate calls (entry copies "
+                         "amortize; iters = large-model steps observed)")
     ap.add_argument("--logdir", default="/tmp/jaxtrace_biterate")
     args = ap.parse_args()
 
@@ -76,18 +80,24 @@ def main():
                             batch_size=B, kv_quant=args.kv_quant)
     rng = np.random.default_rng(17)
     prompt = rng.integers(10, tcfg.vocab_size, size=128)
-    state = eng.prefill_batch([prompt] * B, seed=0)
-
-    # Warmup/compile outside the trace.
-    for _ in range(3):
-        state, stats = eng._biterate(eng.draft_params, eng.target_params, state)
-    jax.block_until_ready(stats.emitted)
-
     os.system(f"rm -rf {args.logdir}")
-    with jax.profiler.trace(args.logdir):
-        for _ in range(args.iters):
+    if args.loop:
+        prompts = [prompt] * B
+        eng.generate_batch_fast(prompts, max_new_tokens=4)  # compile
+        with jax.profiler.trace(args.logdir):
+            eng.generate_batch_fast(prompts, max_new_tokens=args.iters * 3)
+        args.iters = eng.num_large_model_steps
+        log(f"device loop ran {args.iters} large-model steps")
+    else:
+        state = eng.prefill_batch([prompt] * B, seed=0)
+        # Warmup/compile outside the trace.
+        for _ in range(3):
             state, stats = eng._biterate(eng.draft_params, eng.target_params, state)
         jax.block_until_ready(stats.emitted)
+        with jax.profiler.trace(args.logdir):
+            for _ in range(args.iters):
+                state, stats = eng._biterate(eng.draft_params, eng.target_params, state)
+            jax.block_until_ready(stats.emitted)
 
     paths = glob.glob(f"{args.logdir}/**/*.trace.json.gz", recursive=True)
     assert paths, f"no trace under {args.logdir}"

@@ -16,6 +16,7 @@ from ..core.model import LlamaParams, forward
 from ..kvcache.cache import KVCache, KVCache4, KVCache8
 from ..ops import masks
 from ..ops.sampling import sample_categorical_probs, target_probs
+from ..utils import prng_key
 
 
 class ARState(NamedTuple):
@@ -134,7 +135,7 @@ class ARBaseline:
                 self.kv_quant
             ].init(self.cfg, self.max_length, self.params.embed.dtype),
             last_logits=jnp.zeros((self.cfg.vocab_size,), jnp.float32),
-            key=jax.random.PRNGKey(seed),
+            key=prng_key(seed),
             terminal=jnp.asarray(False),
         )
         C = self.prefill_chunk

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .engine import DecodeState, SpecEngine
+from ..utils import prng_key
 
 
 class BatchedSpecEngine(SpecEngine):
@@ -66,7 +67,7 @@ class BatchedSpecEngine(SpecEngine):
         """vmap axes pytree: cache leaves batch on axis 1 (layer axis stays
         leading for the scan), everything else on axis 0."""
         template = jax.eval_shape(
-            lambda: self._fresh_state(jax.random.PRNGKey(0),
+            lambda: self._fresh_state(prng_key(0),
                                       self.target_params.embed.dtype))
         kv_axes = lambda kv: type(kv)(*([1] * len(kv)))
         return DecodeState(

@@ -36,6 +36,7 @@ from ..core.config import LlamaConfig
 from ..core.model import LlamaParams, forward
 from ..kvcache.cache import KVCache, KVCache4, KVCache8
 from ..ops import masks
+from ..utils import prng_key
 from ..ops.sampling import (
     sample_argmax,
     sample_categorical_probs,
@@ -230,7 +231,7 @@ class SpecEngine:
         plen = len(prompt)
         assert 1 <= plen
         assert plen + self.tree_size <= self.max_length, "prompt too long for max_length"
-        key = jax.random.PRNGKey(seed)
+        key = prng_key(seed)
         state = self._fresh_state(key, self.target_params.embed.dtype)
         C = self.prefill_chunk
         padded_len = _round_up(plen, C)

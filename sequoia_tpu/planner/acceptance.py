@@ -34,6 +34,7 @@ from ..kvcache.cache import KVCache
 from ..ops import masks
 from ..ops.sampling import residual, top_p_filter
 from ..trees.growmap import uniform_tree
+from ..utils import prng_key
 
 
 def _per_position_rates(
@@ -93,7 +94,7 @@ def static_acceptance(
     """Teacher-forced acceptance vector over ground-truth `sequences`."""
     fwd_t = jax.jit(partial(forward, cfg=target_cfg))
     fwd_d = jax.jit(partial(forward, cfg=draft_cfg))
-    key = jax.random.PRNGKey(seed)
+    key = prng_key(seed)
     total = np.zeros(k, np.float64)
     count = 0
     for seq in sequences:

@@ -69,10 +69,19 @@ def main():
     prompt = rng.integers(10, tcfg.vocab_size, size=128)
     bstate = eng.prefill_batch([prompt] * B)
 
-    vgrow = jax.vmap(eng._grow_impl, in_axes=(None, 0))
-    vtarget = jax.vmap(eng._target_impl, in_axes=(None, 0, 0))
-    vfin = jax.vmap(eng._finalize_impl, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
-    vit = jax.vmap(eng._iterate_impl, in_axes=(None, None, 0))
+    from sequoia_tpu.kvcache.cache import KVCache as _KVc
+
+    sax = eng.state_axes  # cache leaves batch on axis 1
+    scr_ax = _KVc(k=1, v=1)  # grow/target scratches are plain float caches
+    vgrow = jax.vmap(eng._grow_impl, in_axes=(None, sax),
+                     out_axes=(0, 0, 0, scr_ax, 0))
+    vtarget = jax.vmap(eng._target_impl, in_axes=(None, sax, 0),
+                       out_axes=(0, scr_ax))
+    vfin = jax.vmap(eng._finalize_impl,
+                    in_axes=(None, sax, 0, 0, 0, scr_ax, 0, 0, scr_ax),
+                    out_axes=(sax, 0))
+    vit = jax.vmap(eng._iterate_impl, in_axes=(None, None, sax),
+                   out_axes=(sax, 0))
 
     def timed(name, f, *fargs):
         @jax.jit
@@ -152,13 +161,25 @@ def main():
     md = max(eng.max_depth, 1)
     slots = (bstate.gtl - 1)[:, None] + jnp.where(path.path >= 0, path.path, 0)
 
-    vcomp_t = jax.vmap(lambda kv, s, o: kv.compact(s, o))
-    timed("  compact target kv",
-          lambda i, kv, s, o: vcomp_t(kv, s + (i & 0), o).k,
-          tkv, slots, bstate.gtl)
-    timed("  compact draft kv",
-          lambda i, kv, s, o: vcomp_t(kv, s + (i & 0), o).k,
-          draft_kv, slots, bstate.gtl)
+    # commit: scratch rows -> main caches (split-cache design)
+    path_c = jnp.where(path.path >= 0, path.path, 0)
+    tslots = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.int32), path_c], axis=1)
+    from sequoia_tpu.kvcache.cache import KVCache8 as _KV8c
+    main_t_ax = eng.state_axes.target_kv
+    main_d_ax = eng.state_axes.draft_kv
+    vcommit_t = jax.vmap(lambda kv, scr, s, o: kv.commit_rows(scr, s, o),
+                         in_axes=(main_t_ax, scr_ax, 0, 0),
+                         out_axes=main_t_ax)
+    vcommit_d = jax.vmap(lambda kv, scr, s, o: kv.commit_rows(scr, s, o),
+                         in_axes=(main_d_ax, scr_ax, 0, 0),
+                         out_axes=main_d_ax)
+    timed("  commit target kv",
+          lambda i, kv, scr, s, o: vcommit_t(kv, scr, s + (i & 0), o).k,
+          bstate.target_kv, tkv, tslots, bstate.gtl - 1)
+    timed("  commit draft kv",
+          lambda i, kv, scr, s, o: vcommit_d(kv, scr, s + (i & 0), o).k,
+          bstate.draft_kv, draft_kv, path_c, bstate.gtl)
 
     # bonus re-draft: vmapped width-1 draft forward
     from sequoia_tpu.core.model import forward as _fwd
@@ -170,10 +191,10 @@ def main():
         mask = k_idx <= nts
         lg, kv = _fwd(dp, dcfg, root_token[None], pos, kv, nts, mask)
         return lg
-    vrd = jax.vmap(redraft, in_axes=(None, 0, 0, 0))
+    vrd = jax.vmap(redraft, in_axes=(None, 0, main_d_ax, 0))
     timed("  bonus re-draft",
           lambda i, dp, tb, kv, nts: vrd(dp, tb + (i % 2), kv, nts),
-          dparams, tokens_buf, draft_kv, bstate.gtl)
+          dparams, tokens_buf, bstate.draft_kv, bstate.gtl)
 
     # sampling the bonus
     vsample = jax.vmap(lambda k, pr: sample_categorical_probs(k, pr[0]))

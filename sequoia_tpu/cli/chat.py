@@ -3,10 +3,11 @@
 Llama-3-aware), and `tests/specinfer_run.py`, unified behind `--algorithm`.
 
 Differences from the reference, by design (SURVEY.md §2.4):
-- The CPU-offloading target backend (`--staylayer`) is replaced by weight-only
-  quantization (`--quant int8|int4`) + optional TP sharding (`--tp`): on TPU a
-  70B target is served by sharding over ICI and int4 matmuls, not by PCIe
-  streaming.
+- A big target is preferably served by weight-only quantization
+  (`--quant int8|int4`) + TP sharding (`--tp`); when it exceeds even that,
+  `--offloading --staylayer N` streams layer weights from TPU-host memory
+  (`engine/offload.py`, the reference `Engine/offload_engine.py` rebuilt on
+  XLA memory spaces) — and composes with `--quant` to cut the DMA bytes.
 - Prompt template, MT-Bench loading, seed, and stop-token handling match the
   reference (`tests/run_sequoia.py:82,284-297`; Llama-3 EOS override
   `tests/greedy_run.py:129` becomes `--stop-tokens`).
@@ -102,6 +103,13 @@ def main(argv=None) -> None:
     ap.add_argument("--mode", default="spec", choices=["spec", "baseline"])
     ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"],
                     help="target weight-only quantization (offload-path replacement)")
+    ap.add_argument("--offloading", action="store_true",
+                    help="stream target layer weights from host memory "
+                         "(engine/offload.py, the reference offload_engine "
+                         "rebuild); composes with --quant")
+    ap.add_argument("--staylayer", type=int, default=0,
+                    help="offloading: layers kept HBM-resident "
+                         "(tests/run_sequoia.py:247 --staylayer)")
     ap.add_argument("--tp", type=int, default=1, help="tensor-parallel degree")
     ap.add_argument("--T", type=float, default=0.6)
     ap.add_argument("--P", type=float, default=0.9)
@@ -136,6 +144,11 @@ def main(argv=None) -> None:
         from ..quant.quantize import quantize_model
 
         target_params = quantize_model(target_params, bits=int(args.quant[3:]))
+    if args.offloading:
+        assert args.tp == 1, "offloading is the single-chip path; use TP instead"
+        from ..engine.offload import offload_params
+
+        target_params = offload_params(target_params, stay_layers=args.staylayer)
 
     mesh = None
     if args.tp > 1:

@@ -130,6 +130,13 @@ def main(argv=None) -> None:
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--kv-quant", default="none", choices=["none", "int8", "int4"],
                     help="int8 target KV cache with per-row scales")
+    ap.add_argument("--offloading", action="store_true",
+                    help="stream target layer weights from host memory "
+                         "(reference testbed.py --offloading; TPU rebuild "
+                         "of Engine/offload_engine.py — engine/offload.py)")
+    ap.add_argument("--staylayer", type=int, default=0,
+                    help="offloading: layers kept resident in HBM "
+                         "(tests/run_sequoia.py --staylayer)")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--device-loop", action="store_true", default=True)
     args = ap.parse_args(argv)
@@ -140,6 +147,10 @@ def main(argv=None) -> None:
     target_params, target_cfg = build_params(
         args.target, args.target_weights, args.dtype, args.seed
     )
+    if args.offloading:
+        from ..engine.offload import offload_params
+
+        target_params = offload_params(target_params, stay_layers=args.staylayer)
     prompts = load_prompts(args.prompts, target_cfg.vocab_size, args.seed,
                            prefill_len=args.S)
     prompts = prompts[args.start : args.end]

@@ -59,9 +59,31 @@ class LayerParams(NamedTuple):
     w_down: jax.Array     # [L, F, E]
 
 
+class OffloadLayers(NamedTuple):
+    """Layer stacks split by residency for host-offloaded serving.
+
+    TPU-native rebuild of the reference's PCIe weight-streaming engine
+    (`Engine/offload_engine.py:191-209` pins per-layer weights in CPU
+    memory, `:299-309` keeps the first `stay_layers` resident on the GPU
+    and double-buffers the rest): `streamed` leaves live in the TPU host's
+    pinned memory space (`jax.memory.Space.Host`) and are copied into HBM
+    one layer at a time inside the decode `lax.scan`; XLA's latency-hiding
+    scheduler overlaps layer i+1's host->HBM DMA with layer i's compute —
+    the compiler-scheduled equivalent of the reference's hand-rolled
+    `load_stream` double buffering (`offload_engine.py:388-404`).
+
+    `resident` holds the first `stay_layers` layers in device HBM (may be
+    None). Both fields are `LayerParams` whose leaves may be float arrays
+    or `QuantizedTensor`s (int8/int4 streaming cuts the PCIe/DMA bytes the
+    same way it cuts the HBM stream)."""
+
+    resident: Optional[LayerParams]
+    streamed: LayerParams
+
+
 class LlamaParams(NamedTuple):
     embed: jax.Array       # [V, E]
-    layers: LayerParams
+    layers: LayerParams    # or OffloadLayers (host-offloaded serving)
     final_norm: jax.Array  # [E]
     lm_head: jax.Array     # [E, V]
 
@@ -113,6 +135,42 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     cos = cos[:, None, :].astype(x.dtype)
     sin = sin[:, None, :].astype(x.dtype)
     return x * cos + _rotate_half(x) * sin
+
+
+def _offload_layer_scan(layer_step, hidden, layers: OffloadLayers, kv_xs):
+    """Run `layer_step` over a residency-split layer stack: a normal scan
+    over the device-resident prefix, then a scan over the host-resident
+    suffix where each step `device_put`s its layer's weights into device
+    memory (`jax.memory.Space.Device`). XLA turns the in-loop transfer into
+    an async host->HBM copy it schedules ahead of the consuming compute —
+    layer i+1 streams while layer i runs, the reference's double-buffer
+    overlap (`Engine/offload_engine.py:388-404`) without hand-rolled
+    streams. Only the two live layers' weights ever occupy HBM."""
+    from jax.memory import Space
+
+    n_res = 0 if layers.resident is None else layers.resident.attn_norm.shape[0]
+    ys_parts = []
+    if n_res:
+        xs_res = (layers.resident,) + tuple(
+            jax.tree.map(lambda a: a[:n_res], x) for x in kv_xs
+        )
+        hidden, y = jax.lax.scan(layer_step, hidden, xs_res)
+        ys_parts.append(y)
+
+    def streamed_step(h, xs):
+        lp = jax.tree.map(lambda a: jax.device_put(a, Space.Device), xs[0])
+        return layer_step(h, (lp,) + tuple(xs[1:]))
+
+    xs_str = (layers.streamed,) + tuple(
+        jax.tree.map(lambda a: a[n_res:], x) for x in kv_xs
+    )
+    hidden, y = jax.lax.scan(streamed_step, hidden, xs_str)
+    ys_parts.append(y)
+    if len(ys_parts) == 2:
+        y = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), *ys_parts
+        )
+    return hidden, y
 
 
 def forward(
@@ -266,23 +324,26 @@ def forward(
     # speculation cost (planner draft_time sensitivity: SURVEY.md §3.3).
     unroll = cfg.num_layers if cfg.num_layers <= 12 else 1
     if quantized_kv:
-        xs = (params.layers, kv.k, kv.v, kv.ks, kv.vs)
+        kv_xs = (kv.k, kv.v, kv.ks, kv.vs)
     else:
-        xs = (params.layers, kv.k, kv.v)
+        kv_xs = (kv.k, kv.v)
     if split:
-        xs = xs + (scratch.k, scratch.v)
-        hidden, (new_sk, new_sv) = jax.lax.scan(
-            layer_step, hidden, xs, unroll=unroll
+        kv_xs = kv_xs + (scratch.k, scratch.v)
+
+    if isinstance(params.layers, OffloadLayers):
+        hidden, ys = _offload_layer_scan(
+            layer_step, hidden, params.layers, kv_xs
         )
-        new_state = KVCache(k=new_sk, v=new_sv)
-    elif quantized_kv:
-        hidden, (new_k, new_v, new_ks, new_vs) = jax.lax.scan(
-            layer_step, hidden, xs, unroll=unroll,
-        )
-        new_state = type(kv)(k=new_k, v=new_v, ks=new_ks, vs=new_vs)
     else:
-        hidden, (new_k, new_v) = jax.lax.scan(layer_step, hidden, xs, unroll=unroll)
-        new_state = KVCache(k=new_k, v=new_v)
+        hidden, ys = jax.lax.scan(
+            layer_step, hidden, (params.layers,) + kv_xs, unroll=unroll
+        )
+    if split:
+        new_state = KVCache(k=ys[0], v=ys[1])
+    elif quantized_kv:
+        new_state = type(kv)(k=ys[0], v=ys[1], ks=ys[2], vs=ys[3])
+    else:
+        new_state = KVCache(k=ys[0], v=ys[1])
     hidden = rms_norm(hidden, params.final_norm, cfg.rms_norm_eps)
     logits = qmm(hidden, params.lm_head, preferred_element_type=jnp.float32)
     return logits, new_state

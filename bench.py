@@ -390,10 +390,25 @@ def main() -> None:
     )
     ar.generate_fast(prompt, max_new_tokens=8)  # warmup/compile
     n_base = args.gen_tokens
-    t0 = time.perf_counter()
-    out = ar.generate_fast(prompt, max_new_tokens=n_base)
-    t_base = (time.perf_counter() - t0) / (len(out) - len(prompt))
-    log(f"AR baseline: {t_base * 1e3:.2f} ms/token")
+
+    # Differenced, symmetric with the spec-loop measurement below: the
+    # prefill forward and the ~28 ms tunnel round-trip of the final state
+    # fetch are per-CALL constants, not per-token costs; leaving them in
+    # t_base (but differencing them out of t_iter) would skew the ratio in
+    # our favor. min over pairs rejects upward tunnel noise.
+    def timed_ar(n):
+        t0 = time.perf_counter()
+        out = ar.generate_fast(prompt, max_new_tokens=n)
+        return time.perf_counter() - t0, len(out) - len(prompt)
+
+    ar_pairs = []
+    for _ in range(2):
+        dt_s, n_s = timed_ar(4)
+        dt_l, n_l = timed_ar(n_base)
+        if n_l > n_s and dt_l > dt_s:
+            ar_pairs.append((dt_l - dt_s) / (n_l - n_s))
+    t_base = min(ar_pairs) if ar_pairs else dt_l / n_l
+    log(f"AR baseline: {t_base * 1e3:.2f} ms/token (differenced)")
 
     # ---- 2. profile -> plan ---------------------------------------------
     budgets, target_time, _standalone_draft = measure_latency_curve(

@@ -407,8 +407,13 @@ def main() -> None:
         dt_l, n_l = timed_ar(n_base)
         if n_l > n_s and dt_l > dt_s:
             ar_pairs.append((dt_l - dt_s) / (n_l - n_s))
-    t_base = min(ar_pairs) if ar_pairs else dt_l / n_l
-    log(f"AR baseline: {t_base * 1e3:.2f} ms/token (differenced)")
+    if ar_pairs:
+        t_base = min(ar_pairs)
+        log(f"AR baseline: {t_base * 1e3:.2f} ms/token (differenced)")
+    else:
+        t_base = dt_l / max(n_l, 1)
+        log(f"AR baseline: {t_base * 1e3:.2f} ms/token (plain quotient; "
+            f"differenced pairs were noise-dominated)")
 
     # ---- 2. profile -> plan ---------------------------------------------
     budgets, target_time, _standalone_draft = measure_latency_curve(

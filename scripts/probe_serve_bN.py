@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--max-length", type=int, default=256)
     ap.add_argument("--budgets", default="1,2,4,8,16")
+    ap.add_argument("--draft-time-ms", type=float, default=None,
+                    help="planner per-level draft cost override. The "
+                         "standalone draft-loop measurement below is VMEM-"
+                         "resident and unrepresentative of the fused "
+                         "iteration (see bench.py --draft-time-ms); without "
+                         "this override the DP may plan over-deep trees")
     ap.add_argument("--tree", default="plan",
                     help="'plan' = measure curve + DP, or 'DxK' uniform")
     args = ap.parse_args()
@@ -65,11 +71,16 @@ def main():
         tt = time_forward_widths(
             tparams, tcfg, budgets, max_length=args.max_length,
             kv_len=128, reps=12, batch=B, kv_quant=args.kv_quant)
-        dt = time_forward_widths(
-            dparams, dcfg, (4,), max_length=args.max_length,
-            kv_len=128, reps=20, batch=B)[0]
+        if args.draft_time_ms is not None:
+            dt = args.draft_time_ms / 1e3
+            dt_note = "override"
+        else:
+            dt = time_forward_widths(
+                dparams, dcfg, (4,), max_length=args.max_length,
+                kv_len=128, reps=20, batch=B)[0]
+            dt_note = "standalone-loop measurement; VMEM-resident, may plan too deep"
         log(f"B={B} target_time(ms): {[round(t*1e3, 2) for t in tt]}; "
-            f"draft level {dt*1e3:.2f} ms")
+            f"draft level {dt*1e3:.2f} ms ({dt_note})")
         gm, _ = plan(p, list(budgets), tt, dt, max_depth=8)
     else:
         d, k = map(int, args.tree.split("x"))
@@ -99,9 +110,12 @@ def main():
 
     it_ms = (dt_l - dt_s) / max(steps_l - steps_s, 1) * 1e3
     log(f"generate_batch_fast: {toks} tokens in {dt_l:.2f}s "
-        f"({steps_l} iterations) -> {toks/dt_l:.0f} tok/s raw")
-    log(f"differenced: {it_ms:.2f} ms/iteration; with E[acc] {e:.2f} -> "
-        f"{B * e / (it_ms/1e3):.0f} tok/s/chip")
+        f"({steps_l} iterations) -> {toks/dt_l:.0f} tok/s raw; "
+        f"measured emitted/step {toks / max(steps_l * B, 1):.2f} "
+        f"(random weights)")
+    log(f"differenced: {it_ms:.2f} ms/iteration; with canned 68m->7b "
+        f"E[acc] {e:.2f} -> {B * e / (it_ms/1e3):.0f} tok/s/chip (projected, "
+        f"assumes that pair's acceptance profile)")
 
 
 if __name__ == "__main__":

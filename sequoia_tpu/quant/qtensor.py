@@ -98,6 +98,57 @@ import os
 # Default from $SEQUOIA_QMM.
 _QMM_IMPL = os.environ.get("SEQUOIA_QMM", "auto")
 
+# W8A8: for WIDE int8 matmuls (tree-verify forwards at budget >= ~96) the
+# dequant->bf16 dot hits the bf16 MXU roof (197 TFLOPs on v5e) and the
+# forward goes compute-bound right where the planner wants bigger trees.
+# Quantizing activations per-row to int8 and issuing a native
+# int8 x int8 -> int32 dot runs on the int8 MXU mode (394 TOPS) and keeps
+# the verify ~weight-bandwidth-bound out to budget ~192. Measured
+# (scripts/probe_w8a8_widths.py, llama-2-7b shapes, v5e):
+#   R=64:  w8a8 0.065 ms/matmul vs convert+dot 0.063  (wash)
+#   R=128: w8a8 0.067            vs 0.073             (+9%)
+#   R=256: w8a8 0.076 (302 TOPS) vs 0.142 (bf16 roof) (+87%)
+# "auto" uses w8a8 on TPU when the activation has >= $SEQUOIA_W8A8_MIN_ROWS
+# rows (default 96); "on"/"off" force it. Numerics: per-row symmetric int8
+# activation quantization — a model-precision choice like the weight quant
+# itself; measured quality deltas live in the quality-gate artifact
+# (QUALITY_r02.json).
+_W8A8 = os.environ.get("SEQUOIA_W8A8", "auto")
+_W8A8_MIN_ROWS = int(os.environ.get("SEQUOIA_W8A8_MIN_ROWS", "96"))
+
+
+def set_w8a8(mode: str, min_rows: int = None) -> None:
+    global _W8A8, _W8A8_MIN_ROWS
+    assert mode in ("auto", "on", "off"), mode
+    _W8A8 = mode
+    if min_rows is not None:
+        _W8A8_MIN_ROWS = int(min_rows)
+
+
+def _use_w8a8(x: jax.Array) -> bool:
+    if _W8A8 == "off":
+        return False
+    if _W8A8 == "on":
+        return True
+    rows = x.shape[-2] if x.ndim >= 2 else 1
+    return rows >= _W8A8_MIN_ROWS and _default_backend_is_tpu()
+
+
+def _matmul_w8a8(x: jax.Array, w: "QuantizedTensor", preferred_element_type):
+    """Per-row dynamic activation quant + native int8 MXU dot + rescale."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x8, w.q, (((x8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * sx * w.scale.astype(jnp.float32)
+    if preferred_element_type is None:
+        return y.astype(x.dtype)
+    return y.astype(preferred_element_type)
+
 
 def set_quant_matmul_impl(impl: str) -> None:
     global _QMM_IMPL
@@ -133,6 +184,8 @@ def matmul(x: jax.Array, w: WeightLike, *, preferred_element_type=None) -> jax.A
         if bits == 4:
             assert w.q.shape[-2] * 2 == x.shape[-1], (w.q.shape, x.shape)
         impl = _resolve_impl(bits)
+        if bits == 8 and impl == "xla" and _use_w8a8(x):
+            return _matmul_w8a8(x, w, preferred_element_type)
         if impl != "xla" and x.ndim == 2 and w.q.ndim == 2:
             from ..kernels.quant_matmul import quant_matmul
 

@@ -1,4 +1,14 @@
-"""Hybrid mesh construction on the virtual CPU device mesh."""
+"""Distributed layer: hybrid mesh construction on the virtual CPU device
+mesh, plus a REAL two-process `jax.distributed` bootstrap (localhost
+coordinator) running a cross-process tensor-parallel forward and checking
+parity against the unsharded model — the bootstrap path that actually fails
+in the field (BASELINE.md "N>=2 hosts")."""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
 
 import numpy as np
 import pytest
@@ -33,3 +43,112 @@ def test_mismatched_factors_rejected():
 def test_single_process_init_noop():
     initialize_distributed(num_processes=1)  # must not raise
     assert is_primary()
+
+
+_WORKER = textwrap.dedent("""
+    import os, sys
+    import numpy as np
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.environ["SEQUOIA_REPO"])
+    from sequoia_tpu.parallel.distributed import (
+        hybrid_mesh, initialize_distributed, is_primary)
+    from sequoia_tpu.parallel.sharding import shard_params, tp_kv_spec
+    from sequoia_tpu.core.config import get_config
+    from sequoia_tpu.core.init import random_params
+    from sequoia_tpu.core.model import forward
+    from sequoia_tpu.kvcache.cache import KVCache
+    from sequoia_tpu.ops import masks
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    pid = int(os.environ["SEQUOIA_PID"])
+    initialize_distributed(
+        coordinator_address=os.environ["SEQUOIA_COORD"],
+        num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4, jax.devices()
+    assert is_primary() == (pid == 0)
+
+    cfg = get_config("test-tiny")   # 4 kv heads / 4 heads -> tp=4 divisible
+    params = random_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+
+    # Unsharded local reference (single local device).
+    T = 8
+    tokens = jnp.arange(T, dtype=jnp.int32) + 5
+    pos = jnp.arange(T, dtype=jnp.int32)
+    mask = masks.causal_mask(T, 32, 0)
+
+    def fwd(p, kv):
+        return forward(p, cfg, tokens, pos, kv, 0, mask)[0]
+
+    ref = np.asarray(jax.jit(fwd)(params, KVCache.init(cfg, 32, jnp.float32)))
+
+    # TP=4 across BOTH processes: collectives cross the process boundary.
+    mesh = hybrid_mesh(tp=4, dp=1)
+    assert dict(mesh.shape) == {"dp": 1, "tp": 4}
+    sparams = shard_params(params, mesh)
+    assert tp_kv_spec().k == P(None, None, "tp", None)
+    out_sh = NamedSharding(mesh, P())
+
+    def sharded_fwd(p):
+        kv = KVCache.init(cfg, 32, jnp.float32)
+        return jax.lax.with_sharding_constraint(
+            forward(p, cfg, tokens, pos, kv, 0, mask)[0], out_sh)
+
+    got_g = jax.jit(sharded_fwd, out_shardings=out_sh)(sparams)
+    # Fully-replicated output: every process can read its local shard.
+    got = np.asarray(got_g.addressable_shards[0].data)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+    assert err < 5e-4, f"sharded-vs-unsharded rel err {err}"
+    print(f"WORKER{pid} OK err={err:.2e}", flush=True)
+""")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_bootstrap_and_tp_parity(tmp_path):
+    """Spawn 2 OS processes, each with 2 virtual CPU devices; bootstrap via
+    `jax.distributed.initialize` against a localhost coordinator; shard a
+    test-tiny model TP=4 across the processes and check the forward matches
+    the unsharded reference. Fails if the bootstrap, the hybrid mesh, the
+    param/KV shardings, or the cross-process collectives break."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+    coord = f"localhost:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # worker pins cpu via jax.config
+    env.update({
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "SEQUOIA_COORD": coord,
+        "SEQUOIA_REPO": os.path.join(os.path.dirname(__file__), ".."),
+        "JAX_NUM_CPU_COLLECTIVE_DEVICES": "2",
+    })
+    procs = []
+    for pid in (0, 1):
+        penv = dict(env, SEQUOIA_PID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, str(worker)], env=penv,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER{pid} OK" in out, out[-3000:]

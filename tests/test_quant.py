@@ -108,3 +108,44 @@ def test_quantized_sharded_matches_unsharded():
         sp, KVCache.init(CFG, 32, jnp.float32)
     )
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-4, atol=1e-4)
+
+
+def test_w8a8_matmul_close():
+    """w8a8 (per-row int8 activations + native int8 dot) must track the
+    weight-only dequant matmul within activation-quantization error."""
+    from sequoia_tpu.quant import qtensor
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)) * 0.05
+    qt = quantize_int8(w)
+    ref = np.asarray(matmul(x, qt))
+    got = np.asarray(qtensor._matmul_w8a8(x, qt, None))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 0.02 * scale + 1e-6
+
+    # zero rows must not divide by zero
+    x0 = jnp.zeros((4, 64), jnp.float32)
+    out0 = np.asarray(qtensor._matmul_w8a8(x0, qt, None))
+    assert np.all(np.isfinite(out0)) and np.abs(out0).max() == 0.0
+
+
+def test_w8a8_routing_modes():
+    """'on' forces the int8-dot path; 'off' and CPU-auto keep weight-only."""
+    from sequoia_tpu.quant import qtensor
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(64, 32)).astype(np.float32)) * 0.05
+    qt = quantize_int8(w)
+    base = np.asarray(matmul(x, qt))  # CPU backend: auto never routes w8a8
+    try:
+        qtensor.set_w8a8("on")
+        forced = np.asarray(matmul(x, qt))
+        assert np.abs(forced - base).max() > 0.0  # different numerics
+        assert np.abs(forced - base).max() <= 0.02 * np.abs(base).max() + 1e-6
+        qtensor.set_w8a8("off")
+        off = np.asarray(matmul(x, qt))
+        assert np.array_equal(off, base)
+    finally:
+        qtensor.set_w8a8("auto")

@@ -416,9 +416,16 @@ def main() -> None:
             f"differenced pairs were noise-dominated)")
 
     # ---- 2. profile -> plan ---------------------------------------------
+    # A size-B tree needs prompt + B slots live at once (engine invariant
+    # `gtl - 1 + tree_size <= max_length`), plus headroom to commit at least
+    # a few iterations' tokens; only profile budgets that fit.
+    fit_budgets = tuple(
+        b for b in (1, 2, 4, 8, 16, 32, 64, 96, 128, 160, 192, 256)
+        if args.prefix_len + b + 32 <= args.max_length
+    )
     budgets, target_time, _standalone_draft = measure_latency_curve(
         draft_params, draft_cfg, target_params, target_cfg,
-        budgets=(1, 2, 4, 8, 16, 32, 64, 128),
+        budgets=fit_budgets,
         max_length=args.max_length, kv_len=args.prefix_len,
     )
     draft_time = args.draft_time_ms / 1e3

@@ -28,6 +28,10 @@ import numpy as np
 def _load_tokenizer(spec: str):
     if spec == "none":
         return None
+    if spec == "byte":
+        from ..data.tokenizer import ByteTokenizer
+
+        return ByteTokenizer()
     from transformers import AutoTokenizer
 
     return AutoTokenizer.from_pretrained(spec, use_fast=True)
@@ -96,7 +100,9 @@ def main(argv=None) -> None:
     ap.add_argument("--draft", default="llama-68m", help="preset or HF checkpoint dir")
     ap.add_argument("--target", default="llama-2-7b")
     ap.add_argument("--tokenizer", default="none",
-                    help="'none' (token-id streaming) or local HF tokenizer dir")
+                    help="'none' (token-id streaming), 'byte' (offline "
+                         "byte-level codec, runs MT-Bench with no network), "
+                         "or a local HF tokenizer dir")
     ap.add_argument("--growmap", default="planned", help="path | chain:N | tree:DxB | planned")
     ap.add_argument("--algorithm", default="sequoia",
                     choices=["sequoia", "specinfer", "greedy", "greedys"])

@@ -2,6 +2,8 @@
 token-id mode) — covers the reference chat runners' flow
 (`tests/run_sequoia.py`, `tests/greedy_run.py`, `tests/specinfer_run.py`)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -74,3 +76,38 @@ def test_chat_cli_quantized(capsys):
     ])
     out = capsys.readouterr().out
     assert "per-token latency" in out
+
+
+def test_byte_tokenizer_roundtrip():
+    from sequoia_tpu.data.tokenizer import ByteTokenizer
+
+    tok = ByteTokenizer()
+    for text in ["hello world", "émojis 🌲 and\nnewlines", ""]:
+        ids = tok(text)["input_ids"]
+        assert ids[0] == tok.bos_token_id
+        assert tok.decode(ids) == text
+    # ids outside the byte range are skipped, not crashed on
+    assert tok.decode([0, 1, 2, 500, ord("a") + 3]) == "a"
+
+
+def test_chat_mt_bench_offline_byte_tokenizer(capsys, tmp_path):
+    """MT-Bench prompts (bundled reference file) through the chat CLI with
+    the offline byte tokenizer — the no-network chat path end to end."""
+    import shutil
+
+    from sequoia_tpu.cli.chat import main as chat_main
+
+    src = "/root/reference/tests/dataset/mt_bench.jsonl"
+    if not os.path.exists(src):
+        pytest.skip("reference mt_bench.jsonl not available")
+    data_root = tmp_path / "dataset"
+    data_root.mkdir()
+    shutil.copy(src, data_root / "mt_bench.jsonl")
+    chat_main([
+        "--draft", "test-tiny", "--target", "test-tiny",
+        "--tokenizer", "byte", "--growmap", "chain:3",
+        "--algorithm", "greedy", "--M", "2048", "--gen", "8",
+        "--limit", "1", "--data-root", str(data_root),
+    ])
+    out = capsys.readouterr().out
+    assert "accepted tokens per target step" in out

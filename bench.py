@@ -269,6 +269,76 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     }
 
 
+def _bench_trained_pair(args):
+    """Realized (not implied) acceptance statistics on THIS hardware: train a
+    genuinely correlated draft/target pair offline on the bundled corpus
+    (tools/distill.py — the zero-egress stand-in for the reference's
+    downloaded 68m/7b pair), measure its acceptance-rate vector with the
+    dynamic star-tree protocol (tests/test_accept.py:36-86 analog), plan a
+    growmap from the MEASURED vector + MEASURED latency curve, and run the
+    speculative loop — reporting measured emitted/step next to the planner's
+    expectation. This is the closed loop the reference paper runs; the
+    headline section above can only IMPLY E[accept] because its 7b weights
+    are random."""
+    import jax
+
+    from sequoia_tpu.engine.engine import SpecEngine
+    from sequoia_tpu.planner.acceptance import dynamic_acceptance
+    from sequoia_tpu.planner.dp import expected_accepted, plan
+    from sequoia_tpu.planner.profile import time_forward_widths
+    from sequoia_tpu.tools.distill import corpus_from_reference, make_correlated_pair
+
+    t0 = time.perf_counter()
+    steps = args.trained_pair_steps
+    draft, dcfg, target, tcfg = make_correlated_pair(
+        steps=steps, seq_len=64, distill_draft=True)
+    log(f"trained pair: target {tcfg.num_layers}L/{tcfg.hidden_size}h "
+        f"vocab {tcfg.vocab_size}, {steps} steps + distilled draft "
+        f"({time.perf_counter() - t0:.0f}s)")
+
+    data = corpus_from_reference(vocab_size=tcfg.vocab_size, seq_len=64)
+    prompts = [np.asarray(row[:24], np.int32) for row in data[:4]]
+
+    t0 = time.perf_counter()
+    vec = np.asarray(dynamic_acceptance(
+        draft, dcfg, target, tcfg, prompts, width=8, steps_per_prompt=32,
+        max_length=192, temperature=0.6))
+    vec = np.maximum(vec, 1e-4)
+    vec[0] = 0.0
+    log(f"measured acceptance vector (dynamic, star-8): "
+        f"{[round(float(v), 3) for v in vec[:8]]} "
+        f"({time.perf_counter() - t0:.0f}s)")
+
+    budgets = (1, 2, 4, 8, 16, 32)
+    tt = time_forward_widths(target, tcfg, budgets, max_length=192,
+                             kv_len=24, reps=20)
+    dt = time_forward_widths(draft, dcfg, (2,), max_length=192,
+                             kv_len=24, reps=20)[0]
+    gm, _ = plan(vec, list(budgets), tt, dt, max_depth=8)
+    e_planned = expected_accepted(gm, vec)
+
+    eng = SpecEngine(draft, dcfg, target, tcfg, gm, algorithm="sequoia",
+                     max_length=192, temperature=0.6, top_p=0.9,
+                     prefill_chunk=32)
+    emitted = steps_total = 0
+    for i, pr in enumerate(prompts):
+        eng.generate_fast(pr, max_new_tokens=96, seed=i)
+        emitted += eng.num_decoding_steps
+        steps_total += eng.num_large_model_steps
+    measured = emitted / max(steps_total, 1)
+    log(f"trained-pair loop: tree size={gm.size} planned E[accept]="
+        f"{e_planned:.3f}, MEASURED accepted/step={measured:.3f} "
+        f"({emitted} tokens / {steps_total} target steps)")
+    return {
+        "target": f"{tcfg.num_layers}L-{tcfg.hidden_size}h-v{tcfg.vocab_size}",
+        "train_steps": steps,
+        "acceptance_vector_head": [round(float(v), 4) for v in vec[:8]],
+        "tree_size": gm.size,
+        "planned_expected_accepted": round(float(e_planned), 3),
+        "measured_accepted_per_step": round(measured, 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--target", default="llama-2-7b")
@@ -317,6 +387,10 @@ def main() -> None:
                     help="emit a per-hardware growmap library (budget sweep, "
                          "the A100_growmaps/-S4..-S512 artifact analog); "
                          "'' disables")
+    ap.add_argument("--trained-pair-steps", type=int, default=300,
+                    help="train steps for the realized-acceptance section "
+                         "(correlated pair trained on the bundled corpus); "
+                         "0 disables the section")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend for smoke runs. Setting "
                          "JAX_PLATFORMS in the environment is NOT enough: "
@@ -520,6 +594,14 @@ def main() -> None:
         except Exception as e:  # e.g. params + B KV sets exceed HBM (13B/B=4)
             log(f"batched section skipped: {type(e).__name__}: {str(e)[:160]}")
 
+    # ---- 5. realized acceptance: trained correlated pair ------------------
+    trained = None
+    if args.trained_pair_steps > 0:
+        try:
+            trained = _bench_trained_pair(args)
+        except Exception as e:
+            log(f"trained-pair section skipped: {type(e).__name__}: {str(e)[:160]}")
+
     print(json.dumps({
         "metric": f"sequoia_tokens_per_sec_{args.target}-{args.quant}_{args.draft}-{args.draft_quant}",
         "value": round(1.0 / per_token, 1),
@@ -535,6 +617,7 @@ def main() -> None:
             "speedup_ratio_vs_ref_ratio": round(speedup / args.ref_speedup, 3),
             "ref_implied_ms_per_token_a100": round(ref_ms_per_token, 2),
             "batched": batched,
+            "trained_pair": trained,
         },
     }))
 

@@ -199,64 +199,72 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     # Honest comparison point: BATCHED autoregressive decoding amortizes the
     # weight stream exactly like batched speculation does (speculation trades
     # compute for bandwidth, so its advantage shrinks as batch grows — at
-    # some B the batched AR baseline wins and serving should switch to it).
-    from sequoia_tpu.core.model import forward as _fwd
-    from sequoia_tpu.kvcache.cache import KVCache as _KV
-    from sequoia_tpu.kvcache.cache import KVCache8 as _KV8
-    from sequoia_tpu.ops import masks as _masks
+    # some B the batched AR baseline wins and serving switches to it,
+    # engine/batched.py::choose_serving_mode).
+    from sequoia_tpu.engine.batched import BatchedAREngine, choose_serving_mode
 
-    kv_len = args.prefix_len
-    btoks = jnp.zeros((B, 1), jnp.int32)
-    bpos = jnp.full((B, 1), kv_len, jnp.int32)
-    # Split-cache AR step (main cache read-only + 1-row scratch commit):
-    # write-mode forward re-emits the whole cache as scan ys — measured
-    # 30.0 -> ~15 ms/step at B=32 int8 KV on v5e.
-    amask = _masks.causal_mask(1, args.max_length, kv_len - 1)  # k < kv_len
-    smask = jnp.ones((1, 1), bool)
-
-    def ar_step(tp, tokens, pos, kv):
-        scratch = _KV.init(target_cfg, 1, tp.embed.dtype)
-        logits, scr = _fwd(tp, target_cfg, tokens, pos, kv, kv_len, amask,
-                           scratch=scratch, scratch_offset=0,
-                           scratch_mask=smask)
-        kv = kv.commit_rows(scr, jnp.zeros((1,), jnp.int32), kv_len)
-        return logits, kv
-
-    from sequoia_tpu.kvcache.cache import KVCache4 as _KV4
-
-    _cache_cls = {"int8": _KV8, "int4": _KV4, "none": _KV}[args.batched_kv_quant]
-    # Cache batches on axis 1 so the layer scan keeps its leading axis (no
-    # vmap transposes of the full cache — see BatchedSpecEngine docstring).
-    kv_ax = _cache_cls(*([1] * len(_cache_cls._fields)))
-    var_step = jax.vmap(ar_step, in_axes=(None, 0, 0, kv_ax),
-                        out_axes=(0, kv_ax))
+    are = BatchedAREngine(
+        target_params, target_cfg, batch_size=B, max_length=args.max_length,
+        temperature=0.6, top_p=0.9, prefill_chunk=128,
+        kv_quant=args.batched_kv_quant,
+    )
+    vstep = jax.vmap(are._step_impl, in_axes=(None, are.state_axes),
+                     out_axes=(are.state_axes, 0))
 
     # params must be a jit ARGUMENT — a closure would capture the multi-GB
-    # weights as compile constants (rejected by the remote-compile tunnel)
+    # weights as compile constants (rejected by the remote-compile tunnel).
+    # Pin n/terminal so slots keep stepping at a fixed decode position.
     @jax.jit
-    def arloop(tp, bt, bp, kv):
+    def arloop(tp, st):
         def body(i, carry):
-            bt, kv, acc = carry
-            logits, kv = var_step(tp, bt + (i % 2), bp, kv)
-            return (bt, kv, acc + logits[0, 0, 0])
+            st0, acc = carry
+            st2, tok = vstep(tp, st0)
+            st2 = st2._replace(n=st0.n, terminal=st0.terminal)
+            return (st2, acc + tok[0].astype(jnp.float32))
 
-        _, kv, acc = jax.lax.fori_loop(
-            0, R, body, (bt, kv, jnp.asarray(0.0, jnp.float32)))
+        _, acc = jax.lax.fori_loop(
+            0, R, body, (st, jnp.asarray(0.0, jnp.float32)))
         return acc
 
-    bkv = jax.vmap(lambda _: _cache_cls.init(target_cfg, args.max_length,
-                                             jnp.bfloat16),
-                   out_axes=kv_ax)(jnp.arange(B))
-    float(arloop(target_params, btoks, bpos, bkv))
+    ar_st = are._stack_states(
+        [are._prefill_state(prompt, seed=i)[0] for i in range(B)])
+    float(arloop(target_params, ar_st))
     t0 = time.perf_counter()
-    float(arloop(target_params, btoks, bpos, bkv))
+    float(arloop(target_params, ar_st))
     ar_iter = (time.perf_counter() - t0) / R
     ar_tok_s = B / ar_iter
 
+    mode = choose_serving_mode(bt_iter, float(e_acc), ar_iter)
     log(f"batched serving (B={B}): spec {bt_iter * 1e3:.2f} ms/iteration -> "
         f"{b_tok_s:.0f} tok/s/chip ({b_tok_s * per_token:.2f}x single-request"
         f"); batched AR {ar_iter * 1e3:.2f} ms/step -> {ar_tok_s:.0f} tok/s "
-        f"-> spec {'wins' if b_tok_s > ar_tok_s else 'loses'} at this batch")
+        f"-> policy picks {mode} at this batch")
+
+    # Continuous-batching throughput under a QUEUED workload (2B requests
+    # through B slots) with the crossover policy applied — the serving-layer
+    # number, including admission prefills and refill scheduling.
+    beng2 = BatchedSpecEngine(
+        draft_params, draft_cfg, target_params, target_cfg, bgm,
+        algorithm="sequoia", max_length=args.max_length,
+        temperature=0.6, top_p=0.9, prefill_chunk=128, batch_size=B,
+        kv_quant=args.batched_kv_quant,
+    )
+    rng = np.random.default_rng(23)
+    queued = [rng.integers(10, target_cfg.vocab_size, size=args.prefix_len)
+              for _ in range(2 * B)]
+    gen_each = max(16, args.gen_tokens // 2)
+    beng2.serve_auto(queued[:B], spec_iter_s=bt_iter, ar_step_s=ar_iter,
+                     expected_accepted=float(e_acc), ar_engine=are,
+                     max_new_tokens=8)  # warmup/compile the chosen serve path
+    t0 = time.perf_counter()
+    beng2.serve_auto(queued, spec_iter_s=bt_iter, ar_step_s=ar_iter,
+                     expected_accepted=float(e_acc), ar_engine=are,
+                     max_new_tokens=gen_each)
+    dt_serve = time.perf_counter() - t0
+    serve_tok_s = beng2.num_decoding_steps / dt_serve
+    log(f"serve_auto (queued {2 * B} reqs x {gen_each} tokens, mode={mode}): "
+        f"{beng2.num_decoding_steps} tokens in {dt_serve:.2f}s -> "
+        f"{serve_tok_s:.0f} tok/s/chip incl. admission prefills")
     return {
         "batch": B,
         "tree_size": bgm.size,
@@ -266,6 +274,8 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
         "vs_single_request": round(b_tok_s * per_token, 2),
         "batched_ar_tokens_per_sec": round(ar_tok_s, 1),
         "vs_batched_ar": round(b_tok_s / ar_tok_s, 2),
+        "serving_mode": mode,
+        "serve_queued_tokens_per_sec": round(serve_tok_s, 1),
     }
 
 

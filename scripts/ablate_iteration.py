@@ -10,7 +10,8 @@ iteration inside one jit, gtl clamped):
 """
 
 import argparse
-import sys
+import os as _os, sys
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import time
 
 import numpy as np

@@ -7,7 +7,8 @@ Compares xla vs pallas routing for int8 / packed-int4 at decode-like shapes
 """
 
 import argparse
-import sys
+import os as _os, sys
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import time
 
 import numpy as np

@@ -9,7 +9,8 @@ width-64 tree-verify forward latency + effective weight bandwidth for:
 """
 
 import gc
-import sys
+import os as _os, sys
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import time
 
 import numpy as np

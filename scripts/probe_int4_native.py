@@ -10,7 +10,8 @@ Each: correctness vs XLA reference at small shape, then timed scan-chain.
 """
 
 import functools
-import sys
+import os as _os, sys
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import time
 
 import numpy as np

@@ -18,7 +18,8 @@ Phases (matching engine/engine.py's _iterate_impl):
 """
 
 import argparse
-import sys
+import os as _os, sys
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import time
 
 import numpy as np
@@ -86,13 +87,15 @@ def main():
         log(f"{name:>10}: {dt * 1e3:8.3f} ms/rep")
         return dt
 
-    # ---- grow: carry evolving draft_kv + key ------------------------------
+    # ---- grow: evolving key + logits dependence (split-cache: _grow_impl
+    # returns a [L, size, ...] SCRATCH, the main draft_kv is read-only) ------
     @jax.jit
     def grow_loop(dp, state):
         def body(i, st):
-            tokens_tree, draft_logits, tokens_buf, draft_kv, key = eng._grow_impl(dp, st)
-            return st._replace(draft_kv=draft_kv, key=key,
-                               root_draft_logits=draft_logits[-1])
+            tokens_tree, draft_logits, tokens_buf, dscratch, key = eng._grow_impl(dp, st)
+            dep = dscratch.k.reshape(-1)[0].astype(jnp.float32)
+            return st._replace(key=key,
+                               root_draft_logits=draft_logits[0] + dep)
         return jax.lax.fori_loop(0, R, body, state)
 
     # ---- sample only: per-level WOR sampling, evolving key ----------------
@@ -157,15 +160,19 @@ def main():
         return jax.lax.fori_loop(0, R, body, (key, jnp.int32(0)))
 
     @jax.jit
-    def compact_loop(state, key):
+    def compact_loop(state, dscr, tscr, key):
+        """KV commit (scratch rows -> main caches), the split-cache
+        replacement for the old gather-compaction."""
         md = max(eng.max_depth, 1)
 
         def body(i, carry):
             dkv, tkv, key = carry
             key, sub = jax.random.split(key)
-            slots = jax.random.randint(sub, (md,), 0, args.prefix_len, jnp.int32)
-            dkv = dkv.compact(slots, state.gtl)
-            tkv = tkv.compact(slots, state.gtl)
+            slots = jax.random.randint(sub, (md,), 0, gm.size, jnp.int32)
+            tkv = tkv.commit_rows(
+                tscr, jnp.concatenate([jnp.zeros((1,), jnp.int32), slots]),
+                state.gtl - 1)
+            dkv = dkv.commit_rows(dscr, slots, state.gtl)
             return dkv, tkv, key
         return jax.lax.fori_loop(0, R, body, (state.draft_kv, state.target_kv, key))
 
@@ -196,7 +203,8 @@ def main():
     t_target = timed("target", target_loop, tparams, state)
     t_tprobs = timed("tprobs", tprobs_loop, target_logits, state.key)
     t_accept = timed("accept", accept_loop, p_full, draft_logits, tokens_tree, state.key)
-    t_compact = timed("compact", compact_loop, state, state.key)
+    t_compact = timed("compact", compact_loop, state, draft_kv_g,
+                      target_kv_g, state.key)
     t_redraft = timed("redraft", redraft_loop, dparams, state)
     t_full = timed("full", full_loop, dparams, tparams, state)
 

@@ -8,7 +8,8 @@ bandwidth; pick the block that maximizes bandwidth.
 """
 
 import argparse
-import sys
+import os as _os, sys
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
 import time
 
 

@@ -24,8 +24,193 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .baseline import ARBaseline, ARState
 from .engine import DecodeState, SpecEngine
 from ..utils import prng_key
+
+
+def choose_serving_mode(
+    spec_iter_s: float,
+    expected_accepted: float,
+    ar_step_s: float,
+) -> str:
+    """AR-crossover policy: batched speculation trades compute for weight
+    bandwidth, so its edge over batched autoregressive decoding shrinks as
+    batch grows (both amortize the weight stream; the verify's extra FLOPs
+    do not amortize). Given per-batch MEASURED costs — a full speculative
+    iteration, its planned/measured accepted-per-step, and one batched AR
+    step — pick whichever emits more tokens per second. The planner computes
+    both curves already (bench.py); this makes serving act on them instead
+    of assuming speculation always wins (it loses near B~64 on v5e)."""
+    spec_tps = expected_accepted / max(spec_iter_s, 1e-12)
+    ar_tps = 1.0 / max(ar_step_s, 1e-12)
+    return "spec" if spec_tps > ar_tps else "ar"
+
+
+class BatchedAREngine(ARBaseline):
+    """Batched autoregressive decoding with the same batching construction
+    as `BatchedSpecEngine` (vmap over the fused step, KV batched on axis 1,
+    freeze-merge for finished slots, on-device `lax.while_loop`). Serves two
+    roles: the honest comparison baseline for batched-speculation benchmarks
+    and the execution engine `serve` switches to past the AR crossover."""
+
+    def __init__(self, *args, batch_size: int = 4, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        self.batch_size = batch_size
+        kv_cls = self._kv_cls()
+        kv_axes = kv_cls(*([1] * len(kv_cls._fields)))
+        self.state_axes = ARState(
+            tokens=0, n=0, kv=kv_axes, last_logits=0, key=0, terminal=0)
+        self._bstep = jax.jit(
+            jax.vmap(self._step_impl, in_axes=(None, self.state_axes),
+                     out_axes=(self.state_axes, 0)),
+            donate_argnums=(1,))
+        self._bar_until_any = jax.jit(
+            functools.partial(self._bar_loop_impl, until_all=False),
+            donate_argnums=(1,))
+        self._bar_until_all = jax.jit(
+            functools.partial(self._bar_loop_impl, until_all=True),
+            donate_argnums=(1,))
+        self._insert_slot_fn = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
+
+    def _kv_cls(self):
+        from ..kvcache.cache import KVCache, KVCache4, KVCache8
+
+        return {"int8": KVCache8, "int4": KVCache4, None: KVCache}[self.kv_quant]
+
+    def _insert_slot_impl(self, bstate: ARState, sstate: ARState, slot) -> ARState:
+        return jax.tree.map(
+            lambda ax, b, s: jax.lax.dynamic_update_index_in_dim(b, s, slot, ax),
+            self.state_axes, bstate, sstate,
+        )
+
+    def _stack_states(self, states: Sequence[ARState]) -> ARState:
+        return jax.tree.map(
+            lambda ax, *xs: jnp.stack(xs, axis=ax), self.state_axes, *states
+        )
+
+    def _slot_finished(self, state: ARState, produced, max_new):
+        return state.terminal | (produced >= max_new) | (state.n >= self.max_length)
+
+    def _bar_loop_impl(self, params, bstate: ARState, produced, done, active,
+                       max_new, *, until_all: bool):
+        def cond(carry):
+            _, _, done, _ = carry
+            if until_all:
+                return ~jnp.all(done | ~active)
+            return ~jnp.any(done & active)
+
+        def body(carry):
+            state, produced, done, steps = carry
+            frozen = done | ~active
+            nstate, _tok = jax.vmap(
+                self._step_impl, in_axes=(None, self.state_axes),
+                out_axes=(self.state_axes, 0))(params, state)
+            nstate = nstate._replace(
+                tokens=jnp.where(frozen[:, None], state.tokens, nstate.tokens),
+                n=jnp.where(frozen, state.n, nstate.n),
+                terminal=jnp.where(frozen, state.terminal, nstate.terminal),
+            )
+            produced = produced + jnp.where(frozen, 0, 1)
+            done = done | self._slot_finished(nstate, produced, max_new)
+            return (nstate, produced, done, steps + 1)
+
+        init = (bstate, produced, done, jnp.asarray(0, jnp.int32))
+        return jax.lax.while_loop(cond, body, init)
+
+    def generate_batch_fast(
+        self,
+        prompts: Sequence[np.ndarray],
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        B = self.batch_size
+        assert len(prompts) == B
+        states, plens = [], []
+        for i, p in enumerate(prompts):
+            s, plen = self._prefill_state(p, seed + i)
+            states.append(s)
+            plens.append(plen)
+        bstate = self._stack_states(states)
+        produced = jnp.zeros((B,), jnp.int32)
+        done = jnp.zeros((B,), bool)
+        active = jnp.ones((B,), bool)
+        bstate, produced, done, steps = self._bar_until_all(
+            self.params, bstate, produced, done, active,
+            jnp.asarray(max_new_tokens, jnp.int32))
+        produced = np.asarray(produced)
+        self.num_large_model_steps = int(steps)
+        self.num_decoding_steps = int(np.minimum(produced, max_new_tokens).sum())
+        tokens = np.asarray(jax.device_get(bstate.tokens))
+        return [
+            tokens[b, : plens[b] + min(int(produced[b]), max_new_tokens)]
+            for b in range(B)
+        ]
+
+    def serve_fast(
+        self,
+        prompts: Iterable[np.ndarray],
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Continuous batching, AR mode: mirror of
+        `BatchedSpecEngine.serve_fast` (device loop until any slot finishes,
+        refill, repeat)."""
+        queue = list(enumerate(np.asarray(p, np.int32).reshape(-1) for p in prompts))
+        n_total = len(queue)
+        B = self.batch_size
+        results: List[Optional[np.ndarray]] = [None] * n_total
+        slot_req = [-1] * B
+        slot_plen = [0] * B
+        init_states = []
+        for s in range(B):
+            if queue:
+                rid, prompt = queue.pop(0)
+                slot_req[s] = rid
+                slot_plen[s] = len(prompt)
+                init_states.append(self._prefill_state(prompt, seed + rid)[0])
+            else:
+                init_states.append(
+                    self._prefill_state(np.zeros(1, np.int32), seed)[0])
+        state = self._stack_states(init_states)
+        produced = jnp.zeros((B,), jnp.int32)
+        done = jnp.zeros((B,), bool)
+        active_np = np.asarray([r >= 0 for r in slot_req])
+        max_new = jnp.asarray(max_new_tokens, jnp.int32)
+
+        self.num_decoding_steps = 0
+        self.num_large_model_steps = 0
+        while any(r >= 0 for r in slot_req):
+            drain = not queue
+            loop = self._bar_until_all if drain else self._bar_until_any
+            state, produced, done, steps = loop(
+                self.params, state, produced, done, jnp.asarray(active_np),
+                max_new)
+            self.num_large_model_steps += int(steps)
+            done_np = np.asarray(done)
+            produced_np = np.asarray(produced)
+            tokens_host = np.asarray(jax.device_get(state.tokens))
+            for s in range(B):
+                rid = slot_req[s]
+                if rid < 0 or not done_np[s]:
+                    continue
+                prod = min(int(produced_np[s]), max_new_tokens)
+                self.num_decoding_steps += prod
+                results[rid] = tokens_host[s, : slot_plen[s] + prod]
+                if queue:
+                    nrid, nprompt = queue.pop(0)
+                    slot_req[s] = nrid
+                    slot_plen[s] = len(nprompt)
+                    sstate, _ = self._prefill_state(nprompt, seed + nrid)
+                    state = self._insert_slot_fn(
+                        state, sstate, jnp.asarray(s, jnp.int32))
+                    produced = produced.at[s].set(0)
+                    done = done.at[s].set(False)
+                else:
+                    slot_req[s] = -1
+                    active_np[s] = False
+        assert all(r is not None for r in results)
+        return results
 
 
 class BatchedSpecEngine(SpecEngine):
@@ -313,6 +498,48 @@ class BatchedSpecEngine(SpecEngine):
                     active_np[s] = False
         assert all(r is not None for r in results)
         return results
+
+    def serve_auto(
+        self,
+        prompts: Iterable[np.ndarray],
+        *,
+        spec_iter_s: float,
+        ar_step_s: float,
+        expected_accepted: Optional[float] = None,
+        ar_engine: Optional[BatchedAREngine] = None,
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Continuous batching with the AR-crossover policy applied: serve
+        with speculation when `E[accept]/spec_iter > 1/ar_step`, else with
+        batched autoregressive decoding (`choose_serving_mode`). The costs
+        come from the same profile->plan loop the planner runs (bench.py
+        measures both curves per batch size); `expected_accepted` defaults
+        to the growmap's DP expectation under the default acceptance
+        vector."""
+        if expected_accepted is None:
+            from ..planner.dp import expected_accepted as _e
+            from ..planner.profile import default_acceptance_vector
+
+            expected_accepted = float(
+                _e(self.growmap, default_acceptance_vector()))
+        self.serving_mode = choose_serving_mode(
+            spec_iter_s, expected_accepted, ar_step_s)
+        if self.serving_mode == "spec":
+            return self.serve_fast(prompts, max_new_tokens=max_new_tokens,
+                                   seed=seed)
+        if ar_engine is None:
+            ar_engine = BatchedAREngine(
+                self.target_params, self.target_cfg,
+                batch_size=self.batch_size, max_length=self.max_length,
+                temperature=self.temperature, top_p=self.top_p,
+                prefill_chunk=self.prefill_chunk, kv_quant=self.kv_quant,
+            )
+        out = ar_engine.serve_fast(prompts, max_new_tokens=max_new_tokens,
+                                   seed=seed)
+        self.num_decoding_steps = ar_engine.num_decoding_steps
+        self.num_large_model_steps = ar_engine.num_large_model_steps
+        return out
 
     def serve(
         self,

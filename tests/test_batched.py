@@ -151,3 +151,63 @@ def test_serve_fewer_prompts_than_slots(models):
     assert len(results) == 2
     for p, out in zip(PROMPTS[:2], results):
         assert len(out) > len(p)
+
+
+def test_choose_serving_mode():
+    from sequoia_tpu.engine.batched import choose_serving_mode
+
+    # spec: 3 accepted per 12ms iteration = 250 tok/s/slot;
+    # ar: 10ms/step = 100 tok/s/slot -> spec wins
+    assert choose_serving_mode(0.012, 3.0, 0.010) == "spec"
+    # deep batch: ar step amortizes to 2ms while spec iteration bloats
+    assert choose_serving_mode(0.020, 3.0, 0.002) == "ar"
+    # tie breaks to ar (simpler engine, exact-latency per token)
+    assert choose_serving_mode(0.010, 1.0, 0.010) == "ar"
+
+
+def test_batched_ar_matches_single_greedy(models):
+    from sequoia_tpu.engine.baseline import ARBaseline
+    from sequoia_tpu.engine.batched import BatchedAREngine
+
+    cfg, _, target = models
+    single = ARBaseline(target, cfg, max_length=96, greedy=True,
+                        prefill_chunk=16)
+    batched = BatchedAREngine(target, cfg, batch_size=4, max_length=96,
+                              greedy=True, prefill_chunk=16)
+    outs = batched.generate_batch_fast(PROMPTS[:4], max_new_tokens=12)
+    for p, got in zip(PROMPTS[:4], outs):
+        exp = single.generate_fast(p, max_new_tokens=12)
+        n = min(len(exp), len(got))
+        assert np.array_equal(exp[:n], got[:n]), (exp, got)
+
+
+def test_batched_ar_serve_fast_drains_queue(models):
+    from sequoia_tpu.engine.batched import BatchedAREngine
+
+    cfg, _, target = models
+    eng = BatchedAREngine(target, cfg, batch_size=2, max_length=96,
+                          greedy=True, prefill_chunk=16)
+    outs = eng.serve_fast(PROMPTS, max_new_tokens=8)
+    assert len(outs) == len(PROMPTS)
+    for p, o in zip(PROMPTS, outs):
+        assert len(o) > len(p)
+        assert np.array_equal(o[: len(p)], p)
+
+
+def test_serve_auto_policy_switch(models):
+    """serve_auto must actually switch engines based on the measured costs
+    and produce a full result set either way."""
+    cfg, draft, target = models
+    eng = BatchedSpecEngine(draft, cfg, target, cfg, uniform_tree(2, 2),
+                            algorithm="greedy", max_length=96,
+                            prefill_chunk=16, batch_size=2)
+    outs = eng.serve_auto(PROMPTS[:3], spec_iter_s=0.012, ar_step_s=0.010,
+                          expected_accepted=3.0, max_new_tokens=6)
+    assert eng.serving_mode == "spec"
+    assert all(len(o) > 0 for o in outs)
+    outs = eng.serve_auto(PROMPTS[:3], spec_iter_s=0.020, ar_step_s=0.002,
+                          expected_accepted=3.0, max_new_tokens=6)
+    assert eng.serving_mode == "ar"
+    assert len(outs) == 3
+    for p, o in zip(PROMPTS[:3], outs):
+        assert np.array_equal(o[: len(p)], p)

@@ -112,14 +112,15 @@ def main():
             return key, acc
         return jax.lax.fori_loop(0, R, body, (state.key, jnp.int32(0)))
 
-    # ---- target: evolving target_kv, tokens derived from prev logits ------
+    # ---- target: tokens derived from prev logits (split-cache: the main
+    # target_kv is read-only; _target_impl returns a scratch) ---------------
     @jax.jit
     def target_loop(tp, state):
         def body(i, carry):
             st, toks = carry
-            logits, tkv = eng._target_impl(tp, st, toks)
+            logits, _tscratch = eng._target_impl(tp, st, toks)
             new_toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            return st._replace(target_kv=tkv), new_toks
+            return st, new_toks
         toks0 = jnp.zeros((gm.size,), jnp.int32)
         return jax.lax.fori_loop(0, R, body, (state, toks0))
 

@@ -111,22 +111,56 @@ def draft_probs(draft_logits: jax.Array, temperature: float) -> jax.Array:
     return jax.nn.softmax(draft_logits.astype(jnp.float32) / temperature, axis=-1)
 
 
+_TOPK_BLOCK = 128  # one VPU lane tile
+
+
 def top_k_indices(x: jax.Array, k: int) -> jax.Array:
-    """Exact top-k indices in descending order. `jax.lax.top_k` lowers to a
-    FULL vocab sort on TPU (measured 6.1 ms per call on [32, 32000] f32 on
-    v5e — 3 such sorts were ~40% of the whole batched spec iteration). For
-    the small static k of tree growth (max branch factor, 1-16) k successive
-    argmax+mask passes are exact and memory-bound (~us each)."""
-    if k > 16:
-        _, idx = jax.lax.top_k(x, k)
-        return idx
-    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    """Exact top-k indices in descending order.
+
+    `jax.lax.top_k` lowers to a FULL vocab sort on TPU (measured 6.1 ms per
+    call on [32, 32000] f32 on v5e — 3 such sorts were ~40% of the whole
+    batched spec iteration), and k successive full-row argmax+mask passes
+    (the round-1 replacement) still read the whole [R, 32000] row k times —
+    profiled at 1.95 ms of a 14.3 ms iteration for the size-128 growmap
+    (widths up to 27).
+
+    Hierarchical exact top-k instead: ONE full pass builds per-block maxima
+    `[.., V/128]`; each of the k extractions then only touches the argmax
+    block — an argmax over block maxima, an argmax inside one gathered
+    128-wide block, and a 128-wide masked rewrite of that block — ~1% of a
+    full row per step. Exact for the gumbel race (ties are measure-zero),
+    so without-replacement sampling semantics are unchanged."""
+    if k == 1:
+        return jnp.argmax(x, axis=-1)[..., None]
+    V = x.shape[-1]
+    B = _TOPK_BLOCK
+    nb = (V + B - 1) // B
+    pad = nb * B - V
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.full((*x.shape[:-1], pad), NEG_INF, x.dtype)], axis=-1)
+    lead = x.shape[:-1]
+    xb = x.reshape(*lead, nb, B)
+    bm = jnp.max(xb, axis=-1)                       # [.., nb]
+    ar = jnp.indices(lead, sparse=True) if lead else ()
+
     idxs = []
     for _ in range(k):
-        i = jnp.argmax(x, axis=-1)
-        idxs.append(i)
-        x = jnp.where(iota == i[..., None], NEG_INF, x)
-    return jnp.stack(idxs, axis=-1)
+        b = jnp.argmax(bm, axis=-1)                 # [..]
+        row = jnp.take_along_axis(
+            xb, b[..., None, None], axis=-2)[..., 0, :]   # [.., B]
+        j = jnp.argmax(row, axis=-1)                # [..]
+        idxs.append(b * B + j)
+        row = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, row.shape, row.ndim - 1)
+            == j[..., None], NEG_INF, row)
+        if lead:
+            xb = xb.at[(*ar, b)].set(row)
+            bm = bm.at[(*ar, b)].set(jnp.max(row, axis=-1))
+        else:
+            xb = xb.at[b].set(row)
+            bm = bm.at[b].set(jnp.max(row, axis=-1))
+    return jnp.stack(idxs, axis=-1).astype(jnp.int32)
 
 
 def sample_without_replacement(

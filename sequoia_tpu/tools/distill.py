@@ -125,6 +125,7 @@ def make_correlated_pair(
     seq_len: int = 64,
     seed: int = 0,
     distill_draft: bool = False,
+    corpus_limit: int = 200,
 ):
     """Train a (draft, target) pair on the bundled corpus. Returns
     `(draft_params, draft_cfg, target_params, target_cfg)` (f32)."""
@@ -135,7 +136,8 @@ def make_correlated_pair(
     import dataclasses
 
     d_cfg = dataclasses.replace(d_cfg, vocab_size=t_cfg.vocab_size)
-    data = corpus_from_reference(vocab_size=t_cfg.vocab_size, seq_len=seq_len)
+    data = corpus_from_reference(vocab_size=t_cfg.vocab_size, seq_len=seq_len,
+                                 limit=corpus_limit)
     target = train_lm(t_cfg, data, steps=steps, seed=seed)
     if distill_draft:
         draft = train_lm(d_cfg, data, steps=steps, seed=seed + 1,

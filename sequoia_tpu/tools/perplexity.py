@@ -39,16 +39,23 @@ class PerplexityResult:
     tokens: int         # number of predicted tokens scored
 
 
-def _chunked_nll_fn(cfg: LlamaConfig, seq_len: int, chunk: int):
+def _chunked_nll_fn(cfg: LlamaConfig, seq_len: int, chunk: int,
+                    kv_quant: Optional[str] = None):
     """Returns a jitted fn(params, tokens[T], length) -> (sum_nll, count):
     prefill-style chunked forward accumulating next-token NLL. Positions
-    past `length` are masked out of the loss."""
+    past `length` are masked out of the loss. `kv_quant` scores with an
+    int8/int4 KV cache so the quality cost of KV quantization (later chunks
+    attend over quantized history) is measurable, not just assumed."""
+    from ..kvcache.cache import KVCache4, KVCache8
+
+    kv_cls = {"int8": KVCache8, "int4": KVCache4,
+              None: KVCache, "none": KVCache}[kv_quant]
     chunk = min(chunk, seq_len)
     n_chunks = (seq_len + chunk - 1) // chunk
     padded = n_chunks * chunk
 
     def run(params, tokens, length):
-        kv = KVCache.init(cfg, padded, params.embed.dtype)
+        kv = kv_cls.init(cfg, padded, params.embed.dtype)
         # +1 so the shifted next-token slice of the LAST chunk never clamps
         # its start index (dynamic_slice clamps out-of-bounds starts, which
         # would silently misalign the final chunk's prediction pairs).
@@ -86,12 +93,13 @@ def evaluate(
     *,
     chunk: int = 128,
     limit: Optional[int] = None,
+    kv_quant: Optional[str] = None,
 ) -> PerplexityResult:
     ids = np.asarray(ids)
     lengths = np.asarray(lengths)
     if limit is not None:
         ids, lengths = ids[:limit], lengths[:limit]
-    fn = _chunked_nll_fn(cfg, ids.shape[1], chunk)
+    fn = _chunked_nll_fn(cfg, ids.shape[1], chunk, kv_quant)
     total, count = 0.0, 0
     for row, ln in zip(ids, lengths):
         if ln < 2:

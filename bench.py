@@ -546,37 +546,62 @@ def main() -> None:
         log(f"growmap library -> {args.save_growmaps}/ ({dev})")
 
     # ---- 3. measured speculative iteration latency -----------------------
-    eng = SpecEngine(
-        draft_params, draft_cfg, target_params, target_cfg, gm,
-        algorithm="sequoia", max_length=args.max_length,
-        temperature=0.6, top_p=0.9, prefill_chunk=128,
-        kv_quant=args.kv_quant,
-    )
-    eng.generate_fast(prompt, max_new_tokens=4)  # warmup/compile
+    # The DP's cost model is target_time(size) + depth*draft_time: it does
+    # not see the per-iteration overhead that SCALES with tree size
+    # (per-level WOR sampling, [size, vocab] accept math, commits) — at
+    # size 128 the model under-predicted the iteration by ~2.3 ms on v5e.
+    # So: plan candidates at several budget caps, MEASURE each end to end,
+    # and keep the best measured per-token — profile->plan->run->select
+    # (the same closed loop _bench_batched runs along the batch axis).
+    def measure_tree(gm_c):
+        eng = SpecEngine(
+            draft_params, draft_cfg, target_params, target_cfg, gm_c,
+            algorithm="sequoia", max_length=args.max_length,
+            temperature=0.6, top_p=0.9, prefill_chunk=128,
+            kv_quant=args.kv_quant,
+        )
+        eng.generate_fast(prompt, max_new_tokens=4)  # warmup/compile
 
-    def timed_run(n):
-        t0 = time.perf_counter()
-        eng.generate_fast(prompt, max_new_tokens=n)
-        return time.perf_counter() - t0, max(eng.num_large_model_steps, 1)
+        def timed_run(n):
+            t0 = time.perf_counter()
+            eng.generate_fast(prompt, max_new_tokens=n)
+            return time.perf_counter() - t0, max(eng.num_large_model_steps, 1)
 
-    # Differenced measurement: (long run - short run) / (iteration delta)
-    # cancels the per-call constants — prefill forward and the ~28 ms
-    # host<->device tunnel round-trip of the final state fetch — which
-    # otherwise inflate per-iteration time ~20% at this generation length.
-    # min over pairs rejects upward noise (tunnel timing varies run to run).
-    pairs = []
-    for _ in range(2):
-        dt_s, it_s = timed_run(4)
-        dt_l, it_l = timed_run(args.gen_tokens)
-        if it_l > it_s and dt_l > dt_s:
-            pairs.append((dt_l - dt_s) / (it_l - it_s))
-    iters = it_l
-    # At very short generations the difference is noise-dominated (can even
-    # go negative on CPU smoke runs); fall back to the plain quotient then.
-    t_iter = min(pairs) if pairs else dt_l / it_l
-    log(f"spec loop: {iters} iterations, {t_iter * 1e3:.2f} ms/iteration "
-        f"(differenced; measured emitted/step with random weights: "
-        f"{eng.num_decoding_steps / iters:.2f})")
+        # Differenced measurement: (long run - short run) / (iteration
+        # delta) cancels the per-call constants — prefill forward and the
+        # ~28 ms host<->device tunnel round-trip of the final state fetch.
+        # min over pairs rejects upward noise.
+        pairs = []
+        for _ in range(2):
+            dt_s, it_s = timed_run(4)
+            dt_l, it_l = timed_run(args.gen_tokens)
+            if it_l > it_s and dt_l > dt_s:
+                pairs.append((dt_l - dt_s) / (it_l - it_s))
+        # At very short generations the difference is noise-dominated (can
+        # even go negative on CPU smoke runs); fall back to the quotient.
+        t = min(pairs) if pairs else dt_l / it_l
+        return t, it_l, eng
+
+    candidates = {(gm.size, int(gm.depth.max())): gm}
+    for cap in (64, 96, 192):
+        vb = [b for b in budgets if b <= cap] or [budgets[0]]
+        gm_c, _ = plan(p, vb, target_time[: len(vb)], draft_time,
+                       max_depth=args.max_depth)
+        candidates.setdefault((gm_c.size, int(gm_c.depth.max())), gm_c)
+
+    best = None
+    for (size, depth), gm_c in candidates.items():
+        t_c, iters_c, eng_c = measure_tree(gm_c)
+        e_c = expected_accepted(gm_c, p)
+        log(f"candidate size={size} depth={depth}: {t_c * 1e3:.2f} ms/"
+            f"iteration, E[accept]={e_c:.3f} -> {t_c / e_c * 1e3:.2f} ms/token"
+            f" (measured emitted/step with random weights: "
+            f"{eng_c.num_decoding_steps / iters_c:.2f})")
+        if best is None or t_c / e_c < best[0] / best[3]:
+            best = (t_c, iters_c, gm_c, e_c, eng_c)
+    t_iter, iters, gm, e_acc, eng = best
+    log(f"spec loop: picked size={gm.size} depth={int(gm.depth.max())}, "
+        f"{t_iter * 1e3:.2f} ms/iteration (differenced)")
 
     per_token = t_iter / e_acc
     speedup = t_base / per_token

@@ -124,43 +124,42 @@ def top_k_indices(x: jax.Array, k: int) -> jax.Array:
     profiled at 1.95 ms of a 14.3 ms iteration for the size-128 growmap
     (widths up to 27).
 
-    Hierarchical exact top-k instead: ONE full pass builds per-block maxima
-    `[.., V/128]`; each of the k extractions then only touches the argmax
-    block — an argmax over block maxima, an argmax inside one gathered
-    128-wide block, and a 128-wide masked rewrite of that block — ~1% of a
-    full row per step. Exact for the gumbel race (ties are measure-zero),
-    so without-replacement sampling semantics are unchanged."""
+    Two-stage exact top-k instead, with a CONSTANT op count (~8 ops; k
+    sequential argmax+mask extractions are ~6 tiny ops each, and at the
+    engine's tree sizes the iteration is launch-overhead bound, not
+    bandwidth bound — profiled 2.0 ms of WOR sampling either way):
+
+      1. per-block maxima over 128-wide blocks (the one full-row pass)
+      2. `lax.top_k` of the k largest BLOCKS on the tiny [.., V/128] array
+      3. gather those k blocks and `lax.top_k` the [.., k*128] candidates
+
+    Exactness: any element outside the top-k blocks is <= its block max
+    <= every selected block's max, so at least k elements beat it — the
+    global top-k all live inside the selected blocks (ties measure-zero
+    under the gumbel race, so WOR sampling semantics are unchanged).
+    `lax.top_k`'s full sort is only ever applied to V/128- and k*128-sized
+    rows, never the vocab (a [32, 32000] top_k sort measured 6.1 ms)."""
     if k == 1:
-        return jnp.argmax(x, axis=-1)[..., None]
+        return jnp.argmax(x, axis=-1)[..., None].astype(jnp.int32)
     V = x.shape[-1]
     B = _TOPK_BLOCK
     nb = (V + B - 1) // B
+    if nb <= k or V <= 2 * B:  # tiny vocab: sort it directly
+        _, idx = jax.lax.top_k(x, k)
+        return idx.astype(jnp.int32)
     pad = nb * B - V
     if pad:
         x = jnp.concatenate(
             [x, jnp.full((*x.shape[:-1], pad), NEG_INF, x.dtype)], axis=-1)
     lead = x.shape[:-1]
     xb = x.reshape(*lead, nb, B)
-    bm = jnp.max(xb, axis=-1)                       # [.., nb]
-    ar = jnp.indices(lead, sparse=True) if lead else ()
-
-    idxs = []
-    for _ in range(k):
-        b = jnp.argmax(bm, axis=-1)                 # [..]
-        row = jnp.take_along_axis(
-            xb, b[..., None, None], axis=-2)[..., 0, :]   # [.., B]
-        j = jnp.argmax(row, axis=-1)                # [..]
-        idxs.append(b * B + j)
-        row = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, row.shape, row.ndim - 1)
-            == j[..., None], NEG_INF, row)
-        if lead:
-            xb = xb.at[(*ar, b)].set(row)
-            bm = bm.at[(*ar, b)].set(jnp.max(row, axis=-1))
-        else:
-            xb = xb.at[b].set(row)
-            bm = bm.at[b].set(jnp.max(row, axis=-1))
-    return jnp.stack(idxs, axis=-1).astype(jnp.int32)
+    bm = jnp.max(xb, axis=-1)                        # [.., nb]
+    _, blocks = jax.lax.top_k(bm, k)                 # [.., k] block ids
+    cand = jnp.take_along_axis(xb, blocks[..., None], axis=-2)  # [.., k, B]
+    cand = cand.reshape(*lead, k * B)
+    _, sel = jax.lax.top_k(cand, k)                  # [.., k] in candidate idx
+    g_block = jnp.take_along_axis(blocks, sel // B, axis=-1)
+    return (g_block * B + sel % B).astype(jnp.int32)
 
 
 def sample_without_replacement(

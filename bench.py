@@ -319,12 +319,17 @@ def _bench_trained_pair(args):
         f"{[round(float(v), 3) for v in vec[:8]]} "
         f"({time.perf_counter() - t0:.0f}s)")
 
+    # Plan from the MEASURED vector with a REPRESENTATIVE latency curve
+    # (a production target's: wide verifies nearly free, draft level ~1% of
+    # a forward). The pair's own tiny-model curve is dispatch-dominated —
+    # target and draft forwards cost the same, so the DP correctly
+    # degenerates to size-1 trees, which demonstrates nothing. The point of
+    # this section is realized ACCEPTANCE through the planner, not the tiny
+    # pair's latency; iteration time is still measured on the real models
+    # in the headline section above.
     budgets = (1, 2, 4, 8, 16, 32)
-    tt = time_forward_widths(target, tcfg, budgets, max_length=192,
-                             kv_len=24, reps=20)
-    dt = time_forward_widths(draft, dcfg, (2,), max_length=192,
-                             kv_len=24, reps=20)[0]
-    gm, _ = plan(vec, list(budgets), tt, dt, max_depth=8)
+    tt = [1.0, 1.0, 1.0, 1.01, 1.02, 1.04]
+    gm, _ = plan(vec, list(budgets), tt, 0.01, max_depth=8)
     e_planned = expected_accepted(gm, vec)
 
     eng = SpecEngine(draft, dcfg, target, tcfg, gm, algorithm="sequoia",

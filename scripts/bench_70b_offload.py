@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Flagship 70B-on-one-chip benchmark: llama-2-7b draft -> llama-2-70b
+target, int4 weights streamed from TPU-host memory (engine/offload.py — the
+XLA-memory-space rebuild of the reference's PCIe double-buffered offload,
+`Engine/offload_engine.py:388-414`), full profile -> plan -> run loop.
+
+Mirrors how the paper reports offloading (speedup vs our own offloaded AR
+baseline on identical hardware; the paper's L40 number is 9.96x / ~0.56
+s/token for the same pair): measure the offloaded AR baseline, profile the
+width-latency curve (stream-dominated, so wide verifies are nearly free ->
+the planner picks the paper's large-budget regime), plan the growmap, run
+the speculative loop, and emit a JSON block + growmap artifact.
+
+Weights are random (zero-egress environment); latency is weight-value
+independent, and E[accept] comes from the reference's bundled acceptance
+vector exactly as in bench.py (its header states the argument).
+"""
+
+import argparse
+import json
+import os as _os, sys
+import time
+
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", default="llama-2-70b")
+    ap.add_argument("--draft", default="llama-2-7b")
+    ap.add_argument("--bits", type=int, default=4, choices=[4, 8],
+                    help="streamed target weight precision (int4 halves the "
+                         "host->HBM DMA bytes vs int8; the reference streams "
+                         "fp16 only — quantize AND stream composes here)")
+    ap.add_argument("--draft-quant", default="int8")
+    ap.add_argument("--stay-layers", type=int, default=4)
+    ap.add_argument("--max-length", type=int, default=768)
+    ap.add_argument("--prefix-len", type=int, default=128)
+    ap.add_argument("--budgets", default="1,64,128,256,512")
+    ap.add_argument("--gen-tokens", type=int, default=32)
+    ap.add_argument("--ar-tokens", type=int, default=12)
+    ap.add_argument("--max-depth", type=int, default=24)
+    ap.add_argument("--profile-reps", type=int, default=3)
+    ap.add_argument("--ref-speedup", type=float, default=9.96,
+                    help="paper's offloading speedup for this pair (L40)")
+    ap.add_argument("--dst", default="BENCH70B_r02.json")
+    ap.add_argument("--save-growmap", default="growmaps")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sequoia_tpu.core.config import get_config
+    from sequoia_tpu.engine.baseline import ARBaseline
+    from sequoia_tpu.engine.engine import SpecEngine
+    from sequoia_tpu.engine.offload import offloaded_bytes, random_offloaded_params
+    from sequoia_tpu.planner.dp import expected_accepted, plan
+    from sequoia_tpu.planner.profile import (
+        default_acceptance_vector,
+        time_forward_widths,
+    )
+    from sequoia_tpu.quant.quantize import random_quantized_model
+
+    log(f"devices: {jax.devices()}")
+    tcfg = get_config(args.target)
+    dcfg = get_config(args.draft)
+
+    t0 = time.perf_counter()
+    tparams = random_offloaded_params(
+        tcfg, seed=0, bits=args.bits, stay_layers=args.stay_layers)
+    host, dev = offloaded_bytes(tparams)
+    log(f"target init ({time.perf_counter() - t0:.0f}s): "
+        f"streamed {host / 1e9:.1f} GB host, {dev / 1e9:.1f} GB resident")
+
+    t0 = time.perf_counter()
+    dbits = {"int8": 8, "int4": 4, "none": None}[args.draft_quant]
+    if dbits is None:
+        from sequoia_tpu.core.init import random_params
+
+        dparams = random_params(dcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    else:
+        dparams = random_quantized_model(dcfg, jax.random.PRNGKey(1), bits=dbits)
+    jax.block_until_ready(dparams.embed)
+    log(f"draft init ({args.draft} {args.draft_quant}): "
+        f"{time.perf_counter() - t0:.0f}s")
+
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(10, tcfg.vocab_size, size=args.prefix_len)
+
+    # ---- offloaded AR baseline -------------------------------------------
+    ar = ARBaseline(tparams, tcfg, max_length=args.max_length,
+                    temperature=0.6, top_p=0.9, prefill_chunk=128)
+    t0 = time.perf_counter()
+    ar.generate_fast(prompt, max_new_tokens=2)  # compile + warmup
+    log(f"AR compile+warmup: {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    out = ar.generate_fast(prompt, max_new_tokens=2)
+    dt_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = ar.generate_fast(prompt, max_new_tokens=args.ar_tokens)
+    dt_l = time.perf_counter() - t0
+    n_l = len(out) - len(prompt)
+    t_base = (dt_l - dt_s) / max(n_l - 2, 1) if n_l > 2 else dt_l / max(n_l, 1)
+    log(f"offloaded AR baseline: {t_base * 1e3:.0f} ms/token "
+        f"(stream {host / 1e9:.1f} GB/token -> "
+        f"{host / 1e9 / t_base:.1f} GB/s effective)")
+
+    # ---- profile -> plan --------------------------------------------------
+    budgets = [int(b) for b in args.budgets.split(",")
+               if int(b) + args.prefix_len + 32 <= args.max_length]
+    tt = time_forward_widths(
+        tparams, tcfg, budgets, max_length=args.max_length,
+        kv_len=args.prefix_len, reps=args.profile_reps, warmup=1)
+    log(f"target_time(ms): {[(b, round(t * 1e3)) for b, t in zip(budgets, tt)]}")
+    # Draft per-level cost: the 7B draft is resident; its fused-iteration
+    # per-level cost is ~its width-small forward (weight-stream bound).
+    dtt = time_forward_widths(
+        dparams, dcfg, (8,), max_length=args.max_length,
+        kv_len=args.prefix_len, reps=8)[0]
+    log(f"draft level cost: {dtt * 1e3:.1f} ms")
+
+    p = default_acceptance_vector()
+    gm, info = plan(p, budgets, tt, dtt, max_depth=args.max_depth)
+    e_acc = expected_accepted(gm, p)
+    log(f"planned tree: size={gm.size} depth={int(gm.depth.max())} "
+        f"E[accept]={e_acc:.3f}")
+    if args.save_growmap:
+        dev_kind = jax.devices()[0].device_kind.replace(" ", "-")
+        dst = _os.path.join(
+            args.save_growmap,
+            f"{dev_kind}-{args.target}-int{args.bits}-offload-"
+            f"{args.draft}-stochastic.json")
+        gm.to_json(dst)
+        log(f"growmap -> {dst}")
+
+    # ---- speculative loop -------------------------------------------------
+    eng = SpecEngine(dparams, dcfg, tparams, tcfg, gm,
+                     algorithm="sequoia", max_length=args.max_length,
+                     temperature=0.6, top_p=0.9, prefill_chunk=128)
+    t0 = time.perf_counter()
+    eng.generate_fast(prompt, max_new_tokens=2)
+    log(f"spec compile+warmup: {time.perf_counter() - t0:.0f}s")
+    t0 = time.perf_counter()
+    eng.generate_fast(prompt, max_new_tokens=2)
+    dt_s, it_s = time.perf_counter() - t0, max(eng.num_large_model_steps, 1)
+    t0 = time.perf_counter()
+    eng.generate_fast(prompt, max_new_tokens=args.gen_tokens)
+    dt_l, it_l = time.perf_counter() - t0, max(eng.num_large_model_steps, 1)
+    t_iter = (dt_l - dt_s) / max(it_l - it_s, 1) if it_l > it_s else dt_l / it_l
+    per_token = t_iter / e_acc
+    speedup = t_base / per_token
+    log(f"spec loop: {t_iter * 1e3:.0f} ms/iteration -> "
+        f"{per_token * 1e3:.0f} ms/token implied -> {speedup:.2f}x vs own "
+        f"offloaded AR ({t_base * 1e3:.0f} ms/token)")
+
+    result = {
+        "metric": f"sequoia_offload_{args.target}-int{args.bits}_{args.draft}",
+        "value": round(1.0 / per_token, 2),
+        "unit": "tok/s (implied: E[accept]/iter_time)",
+        "vs_baseline": round(speedup / args.ref_speedup, 3),
+        "detail": {
+            "streamed_gb": round(host / 1e9, 1),
+            "resident_gb": round(dev / 1e9, 1),
+            "stay_layers": args.stay_layers,
+            "ar_ms_per_token": round(t_base * 1e3, 1),
+            "effective_stream_gb_s": round(host / 1e9 / t_base, 1),
+            "spec_ms_per_iteration": round(t_iter * 1e3, 1),
+            "implied_ms_per_token": round(per_token * 1e3, 1),
+            "expected_accepted_per_step": round(float(e_acc), 3),
+            "tree_size": gm.size,
+            "tree_depth": int(gm.depth.max()),
+            "speedup_vs_own_offloaded_ar": round(speedup, 3),
+            "ref_offload_speedup_l40": args.ref_speedup,
+            "ref_offload_s_per_token_l40": 0.56,
+        },
+    }
+    with open(args.dst, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

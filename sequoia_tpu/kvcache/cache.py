@@ -45,25 +45,6 @@ class KVCache(NamedTuple):
         shape = (cfg.num_layers, max_length, cfg.num_kv_heads, cfg.head_dim_)
         return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
-    def compact(self, slots: jax.Array, dest_offset) -> "KVCache":
-        """Move rows `slots` (shape `[P]`, any order, may repeat as padding)
-        to the contiguous window starting at `dest_offset`.
-
-        Equivalent to the reference `gather_kv_incremental(indices, offset)`
-        (`Engine/Llama_KV.py:60-68`) restricted to the accepted-path rows; the
-        tail is left stale (masks make it unreachable).
-
-        NOTE: gathering from and scattering into the SAME buffer makes XLA
-        defensively copy the whole cache (measured ~16 ms per cache at B=32
-        int8 on v5e); the engine now keeps tree rows in a separate scratch
-        and commits via `commit_rows` instead. Kept for API parity.
-        """
-        gathered_k = jnp.take(self.k, slots, axis=1)
-        gathered_v = jnp.take(self.v, slots, axis=1)
-        k = jax.lax.dynamic_update_slice(self.k, gathered_k, (0, dest_offset, 0, 0))
-        v = jax.lax.dynamic_update_slice(self.v, gathered_v, (0, dest_offset, 0, 0))
-        return KVCache(k=k, v=v)
-
     def commit_rows(self, scratch: "KVCache", src_slots: jax.Array,
                     dest_offset) -> "KVCache":
         """Write scratch rows `src_slots` (shape `[P]`, may repeat as
@@ -113,17 +94,6 @@ class KVCache8(NamedTuple):
             ks=jnp.zeros(sshape, jnp.float32),
             vs=jnp.zeros(sshape, jnp.float32),
         )
-
-    def compact(self, slots: jax.Array, dest_offset) -> "KVCache8":
-        k = jax.lax.dynamic_update_slice(
-            self.k, jnp.take(self.k, slots, axis=1), (0, dest_offset, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            self.v, jnp.take(self.v, slots, axis=1), (0, dest_offset, 0, 0))
-        ks = jax.lax.dynamic_update_slice(
-            self.ks, jnp.take(self.ks, slots, axis=1), (0, dest_offset, 0))
-        vs = jax.lax.dynamic_update_slice(
-            self.vs, jnp.take(self.vs, slots, axis=1), (0, dest_offset, 0))
-        return KVCache8(k=k, v=v, ks=ks, vs=vs)
 
     def commit_rows(self, scratch: "KVCache", src_slots: jax.Array,
                     dest_offset) -> "KVCache8":
@@ -180,17 +150,6 @@ class KVCache4(NamedTuple):
             ks=jnp.zeros(sshape, jnp.float32),
             vs=jnp.zeros(sshape, jnp.float32),
         )
-
-    def compact(self, slots: jax.Array, dest_offset) -> "KVCache4":
-        k = jax.lax.dynamic_update_slice(
-            self.k, jnp.take(self.k, slots, axis=1), (0, dest_offset, 0, 0))
-        v = jax.lax.dynamic_update_slice(
-            self.v, jnp.take(self.v, slots, axis=1), (0, dest_offset, 0, 0))
-        ks = jax.lax.dynamic_update_slice(
-            self.ks, jnp.take(self.ks, slots, axis=1), (0, dest_offset, 0))
-        vs = jax.lax.dynamic_update_slice(
-            self.vs, jnp.take(self.vs, slots, axis=1), (0, dest_offset, 0))
-        return KVCache4(k=k, v=v, ks=ks, vs=vs)
 
     def commit_rows(self, scratch: "KVCache", src_slots: jax.Array,
                     dest_offset) -> "KVCache4":

@@ -100,23 +100,25 @@ def test_forward_close_to_float_cache_int4(model):
     assert (np.argmax(got, -1) == np.argmax(ref, -1)).mean() >= 2 / 3
 
 
-def test_compact_moves_scales_with_rows(model):
+def test_commit_rows_quantizes_scales_with_rows(model):
+    """KVCache8.commit_rows quantizes float scratch rows once at commit and
+    writes rows + per-row scales to the destination window."""
+    from sequoia_tpu.kvcache.cache import KVCache
+
     cfg, _ = model
     cache = KVCache8.init(cfg, 16)
     rng = np.random.default_rng(1)
     rows = jnp.asarray(
-        rng.normal(size=(cfg.num_layers, 16, cfg.num_kv_heads, cfg.head_dim_)),
+        rng.normal(size=(cfg.num_layers, 8, cfg.num_kv_heads, cfg.head_dim_)),
         jnp.float32)
-    q, s = jax.vmap(quantize_kv_rows)(rows)
-    cache = KVCache8(k=q, v=q, ks=s, vs=s)
+    scratch = KVCache(k=rows, v=rows)
     slots = jnp.asarray([3, 7, 2], jnp.int32)
-    out = cache.compact(slots, 5)
-    np.testing.assert_array_equal(
-        np.asarray(out.k[:, 5:8]), np.asarray(q[:, [3, 7, 2]]))
-    np.testing.assert_allclose(
-        np.asarray(out.ks[:, 5:8]), np.asarray(s[:, [3, 7, 2]]))
-    # Rows outside the window are untouched.
-    np.testing.assert_array_equal(np.asarray(out.k[:, :5]), np.asarray(q[:, :5]))
+    out = cache.commit_rows(scratch, slots, 5)
+    q, s = jax.vmap(quantize_kv_rows)(rows[:, [3, 7, 2]])
+    np.testing.assert_array_equal(np.asarray(out.k[:, 5:8]), np.asarray(q))
+    np.testing.assert_allclose(np.asarray(out.ks[:, 5:8]), np.asarray(s))
+    # Rows outside the window are untouched (zeros from init).
+    np.testing.assert_array_equal(np.asarray(out.k[:, :5]), 0)
 
 
 @pytest.mark.parametrize("kv_quant", ["int8", "int4"])

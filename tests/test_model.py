@@ -113,12 +113,18 @@ def test_gqa_grouping():
     np.testing.assert_allclose(np.asarray(lg), np.asarray(lm), rtol=1e-4, atol=1e-4)
 
 
-def test_kv_compact():
+def test_kv_commit_rows():
+    """commit_rows (the split-cache replacement for same-buffer gather
+    compaction, reference `gather_kv_incremental`) moves scratch rows into
+    the main cache window and leaves everything else untouched."""
     kv = KVCache.init(CFG, 16, jnp.float32)
     marker = jnp.arange(16, dtype=jnp.float32)[None, :, None, None]
     kv = KVCache(k=kv.k + marker, v=kv.v + 100 + marker)
-    out = kv.compact(jnp.asarray([7, 9, 12]), 3)
+    scratch = KVCache.init(CFG, 8, jnp.float32)
+    smarker = jnp.arange(50, 58, dtype=jnp.float32)[None, :, None, None]
+    scratch = KVCache(k=scratch.k + smarker, v=scratch.v + smarker)
+    out = kv.commit_rows(scratch, jnp.asarray([7, 1, 2]), 3)
     k = np.asarray(out.k[0, :, 0, 0])
     assert list(k[:3]) == [0, 1, 2]
-    assert list(k[3:6]) == [7, 9, 12]
+    assert list(k[3:6]) == [57, 51, 52]
     assert list(k[6:]) == list(range(6, 16))

@@ -137,10 +137,14 @@ def dynamic_acceptance(
 ) -> np.ndarray:
     """Accepted-child-rank histogram from real engine runs with a depth-1
     star tree. Returns `[0, p1, ..., pW]` with p_b = P(rank-b child
-    accepted) across steps. `algorithm="sequoia"` is the SpecTreeTest
-    protocol (`Tree/SpecTree.py:288`), `"greedy"` the GreedyTreeTest one
-    (`Tree/GreedyTree.py:267`: top-W draft children, accept = argmax
-    match)."""
+    accepted) across steps. Every verification algorithm is measurable so
+    growmaps are always planned from a vector measured under the SAME
+    protocol that will run them: `"sequoia"` is the SpecTreeTest protocol
+    (`Tree/SpecTree.py:288`), `"greedy"` the GreedyTreeTest one
+    (`Tree/GreedyTree.py:267`: top-W draft children, accept = argmax match),
+    `"greedys"` top-W children vs one sampled target token, `"specinfer"`
+    with-replacement children + `p >= rq` rounds (the reference only ever
+    measures the first two)."""
     from ..engine.engine import SpecEngine
 
     gm = uniform_tree(1, width)

@@ -6,6 +6,7 @@ never runs on its fast_test vs test_accept pair)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sequoia_tpu.core.config import get_config
 from sequoia_tpu.core.init import random_params
@@ -58,3 +59,19 @@ def test_static_and_dynamic_agree_for_distinct_models():
     # Rank-1 must dominate later ranks in both.
     assert stat[1] > stat[2] >= 0.0
     assert dyn[1] >= dyn[2]
+
+
+@pytest.mark.parametrize("algo", ["greedys", "specinfer"])
+def test_dynamic_acceptance_all_algorithms(algo):
+    """Growmaps must be plannable from vectors measured under the SAME
+    verification protocol — greedys and specinfer included (the reference
+    only measures sequoia/greedy)."""
+    draft = random_params(CFG, jax.random.PRNGKey(3), dtype=jnp.float32)
+    target = random_params(CFG, jax.random.PRNGKey(4), dtype=jnp.float32)
+    prompts = [np.arange(5, 15, dtype=np.int32)]
+    vec = dynamic_acceptance(draft, CFG, target, CFG, prompts, width=4,
+                             steps_per_prompt=8, max_length=96,
+                             temperature=0.7, algorithm=algo)
+    assert vec.shape == (5,)
+    assert vec[0] == 0.0
+    assert 0.0 <= vec[1:].sum() <= 1.0 + 1e-9

@@ -66,6 +66,32 @@ def _kernel_int8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, k_tiles: int):
         o_ref[...] = (acc_ref[...] * s_ref[...]).astype(o_ref.dtype)
 
 
+def _kernel_int4_w4a8(x_lo_ref, x_hi_ref, sx_ref, q_ref, s_ref, o_ref,
+                      acc_ref, *, k_tiles: int):
+    """int4 weights x int8 activations on the int8 MXU mode (394 TOPS on
+    v5e vs 197 bf16): activations arrive pre-quantized per-row (int8 +
+    row scale), nibbles unpack to int8 in VMEM, both dots run
+    int8 x int8 -> int32. Accumulation is exact in int32; the f32 row/col
+    rescale happens once at the last K step."""
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x_lo = x_lo_ref[...]                            # [R, Kb] int8
+    x_hi = x_hi_ref[...]
+    packed = q_ref[...].astype(jnp.int32)           # [Kb, Nb]
+    l = ((packed << 28) >> 28).astype(jnp.int8)
+    h = ((packed << 24) >> 28).astype(jnp.int8)
+    acc_ref[...] += jax.lax.dot(
+        x_lo, l, preferred_element_type=jnp.int32).astype(jnp.float32)
+    acc_ref[...] += jax.lax.dot(
+        x_hi, h, preferred_element_type=jnp.int32).astype(jnp.float32)
+
+    @pl.when(pl.program_id(1) == k_tiles - 1)
+    def _done():
+        o_ref[...] = (acc_ref[...] * sx_ref[...] * s_ref[...]).astype(o_ref.dtype)
+
+
 def _kernel_int4(x_lo_ref, x_hi_ref, q_ref, s_ref, o_ref, acc_ref, *,
                  k_tiles: int, unpack: str):
     @pl.when(pl.program_id(1) == 0)
@@ -151,7 +177,9 @@ def quant_matmul(
     f32 accumulation.
 
     `unpack` (int4 only): "shift" = int32 arithmetic-shift nibble extract,
-    "float" = f32 floor/fma extract (v5e has no bf16 ALU), "auto" = shift
+    "float" = f32 floor/fma extract (v5e has no bf16 ALU), "w4a8" =
+    per-row int8 activation quant outside + int8 x int8 MXU dots inside
+    (activation-quantization numerics, like qtensor w8a8), "auto" = shift
     for narrow row counts, float at R >= 128 where it measures 15-30%
     faster (the batched-serving verify shape; see
     scripts/probe_int4_unpack.py)."""
@@ -197,6 +225,34 @@ def quant_matmul(
             interpret=interpret,
             compiler_params=params,
         )(x, q, scale)
+    elif unpack == "w4a8":
+        # Pre-quantize activations per-row OUTSIDE the kernel (one cheap
+        # [R, K] pass); dots inside run on the int8 MXU mode.
+        xf = x.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        sx = jnp.maximum(amax, 1e-8) / 127.0
+        x8 = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+        half = K // 2
+        x_lo, x_hi = x8[:, :half], x8[:, half:]
+        if Kqp != half:
+            x_lo = jnp.pad(x_lo, ((0, 0), (0, Kqp - half)))
+            x_hi = jnp.pad(x_hi, ((0, 0), (0, Kqp - half)))
+        out = pl.pallas_call(
+            functools.partial(_kernel_int4_w4a8, k_tiles=k_tiles),
+            grid=(n_tiles, k_tiles),
+            in_specs=[
+                pl.BlockSpec((R, bkq), lambda n, k: (0, k)),
+                pl.BlockSpec((R, bkq), lambda n, k: (0, k)),
+                pl.BlockSpec((R, 1), lambda n, k: (0, 0)),
+                pl.BlockSpec((bkq, bn), lambda n, k: (k, n)),
+                pl.BlockSpec((1, bn), lambda n, k: (0, n)),
+            ],
+            out_specs=pl.BlockSpec((R, bn), lambda n, k: (0, n)),
+            out_shape=jax.ShapeDtypeStruct((R, Np), out_dtype),
+            scratch_shapes=[scratch],
+            interpret=interpret,
+            compiler_params=params,
+        )(x_lo, x_hi, sx.astype(jnp.float32), q, scale)
     else:
         half = K // 2
         x_lo, x_hi = x[:, :half], x[:, half:]

@@ -94,3 +94,17 @@ def test_model_forward_parity_with_kernel(bits):
     finally:
         set_quant_matmul_impl("xla")
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-4)
+
+
+def test_int4_w4a8_matches_dequant_matmul():
+    """w4a8 unpack variant (int8 MXU dots, activation quant) tracks the
+    float dequant matmul within activation-quantization error."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(256, 384)).astype(np.float32)) * 0.05
+    qt = quantize_int4(w)
+    ref = np.asarray(x @ dequantize(qt, 256))
+    got = np.asarray(quant_matmul(x, qt.q, qt.scale, bits=4, interpret=True,
+                                  unpack="w4a8"))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= 0.02 * scale

@@ -166,7 +166,7 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
         return t_full, t_grow, t_tgt
 
     # Pass 1: plan with the measured batched draft level cost.
-    bgm, _ = plan(p, list(bbudgets), btt, bdt, max_depth=args.max_depth)
+    bgm, _ = plan(p, list(bbudgets), btt, bdt, max_depth=args.max_depth, max_branch=args.max_branch)
     t_full, t_grow, t_tgt = measure(bgm)
     log(f"pass1 tree size={bgm.size} depth={int(bgm.depth.max())}: "
         f"full {t_full*1e3:.2f} grow {t_grow*1e3:.2f} tgt {t_tgt*1e3:.2f} ms")
@@ -180,7 +180,7 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     dt2 = max(t_grow / levels, 0.05e-3)
     fixed = max(0.0, t_full - t_grow - t_tgt)
     bgm2, _ = plan(p, list(bbudgets), [t + fixed for t in btt], dt2,
-                   max_depth=args.max_depth)
+                   max_depth=args.max_depth, max_branch=args.max_branch)
     if (bgm2.size, int(bgm2.depth.max())) != (bgm.size, int(bgm.depth.max())):
         t_full2, t_grow2, t_tgt2 = measure(bgm2)
         log(f"pass2 tree size={bgm2.size} depth={int(bgm2.depth.max())}: "
@@ -388,6 +388,12 @@ def main() -> None:
     ap.add_argument("--prefix-len", type=int, default=128)
     ap.add_argument("--gen-tokens", type=int, default=96)
     ap.add_argument("--max-depth", type=int, default=14)
+    ap.add_argument("--max-branch", type=int, default=8,
+                    help="planner per-node branch cap: the accept walk is "
+                         "sequential over sibling ranks and the WOR "
+                         "sampler's k follows the widest node, so capping "
+                         "branches trades ~0.6%% of E[accept] for a ~2x "
+                         "shorter walk (see planner/dp.py::plan)")
     ap.add_argument("--draft-time-ms", type=float, default=0.1,
                     help="planner per-level draft cost. Default is calibrated "
                          "from in-engine measurements on v5e (chain-4 vs "
@@ -524,7 +530,8 @@ def main() -> None:
         f"not representative)")
     p = default_acceptance_vector()
     gm, info = plan(
-        p, budgets, target_time, draft_time, max_depth=args.max_depth
+        p, budgets, target_time, draft_time, max_depth=args.max_depth,
+        max_branch=args.max_branch,
     )
     e_acc = expected_accepted(gm, p)
     log(f"planned tree: size={gm.size} depth={int(gm.depth.max())} "
@@ -542,7 +549,7 @@ def main() -> None:
         for cap in (4, 8, 16, 32, 64, 128):
             vb = [b for b in budgets if b <= cap] or [budgets[0]]
             tt = target_time[: len(vb)]
-            gm_s, info_s = plan(p, vb, tt, draft_time, max_depth=args.max_depth)
+            gm_s, info_s = plan(p, vb, tt, draft_time, max_depth=args.max_depth, max_branch=args.max_branch)
             dst = os.path.join(
                 args.save_growmaps,
                 f"{dev}-{args.target}-{args.quant}-{args.draft}-stochastic-S{cap}.json",
@@ -591,7 +598,7 @@ def main() -> None:
     for cap in (64, 96, 192):
         vb = [b for b in budgets if b <= cap] or [budgets[0]]
         gm_c, _ = plan(p, vb, target_time[: len(vb)], draft_time,
-                       max_depth=args.max_depth)
+                       max_depth=args.max_depth, max_branch=args.max_branch)
         candidates.setdefault((gm_c.size, int(gm_c.depth.max())), gm_c)
 
     best = None

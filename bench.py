@@ -243,10 +243,13 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     # Continuous-batching throughput under a QUEUED workload (2B requests
     # through B slots) with the crossover policy applied — the serving-layer
     # number, including admission prefills and refill scheduling.
+    # prefill_chunk 64: serve_device reserves the tail C rows as its
+    # masked-prefill scratch zone, so C=128 would leave no room for
+    # 128-token prompts at max_length 256.
     beng2 = BatchedSpecEngine(
         draft_params, draft_cfg, target_params, target_cfg, bgm,
         algorithm="sequoia", max_length=args.max_length,
-        temperature=0.6, top_p=0.9, prefill_chunk=128, batch_size=B,
+        temperature=0.6, top_p=0.9, prefill_chunk=64, batch_size=B,
         kv_quant=args.batched_kv_quant,
     )
     rng = np.random.default_rng(23)
@@ -265,6 +268,21 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     log(f"serve_auto (queued {2 * B} reqs x {gen_each} tokens, mode={mode}): "
         f"{beng2.num_decoding_steps} tokens in {dt_serve:.2f}s -> "
         f"{serve_tok_s:.0f} tok/s/chip incl. admission prefills")
+
+    # Same workload through the one-dispatch device-resident loop
+    # (admission + chunked prefill + decode inside one lax.while_loop —
+    # zero host round-trips per admit).
+    # Warmup with the same queue shape (n_q is in the jit signature;
+    # max_new is a traced scalar, so max_new=1 reuses the compilation).
+    beng2.serve_device(queued, max_new_tokens=1)
+    t0 = time.perf_counter()
+    beng2.serve_device(queued, max_new_tokens=gen_each)
+    dt_sd = time.perf_counter() - t0
+    sd_tok_s = beng2.num_decoding_steps / dt_sd
+    log(f"serve_device (same workload, one dispatch): "
+        f"{beng2.num_decoding_steps} tokens in {dt_sd:.2f}s -> "
+        f"{sd_tok_s:.0f} tok/s/chip incl. admission prefills "
+        f"({sd_tok_s / max(serve_tok_s, 1e-9):.2f}x serve_auto)")
     return {
         "batch": B,
         "tree_size": bgm.size,
@@ -515,7 +533,7 @@ def main() -> None:
     # `gtl - 1 + tree_size <= max_length`), plus headroom to commit at least
     # a few iterations' tokens; only profile budgets that fit.
     fit_budgets = tuple(
-        b for b in (1, 2, 4, 8, 16, 32, 64, 96, 128, 160, 192, 256)
+        b for b in (1, 2, 4, 8, 16, 32, 64, 96, 128, 160, 192, 256, 320, 384)
         if args.prefix_len + b + 32 <= args.max_length
     )
     budgets, target_time, _standalone_draft = measure_latency_curve(
@@ -595,7 +613,7 @@ def main() -> None:
         return t, it_l, eng
 
     candidates = {(gm.size, int(gm.depth.max())): gm}
-    for cap in (64, 96, 192):
+    for cap in (64, 96, 128, 192, 256, 384):
         vb = [b for b in budgets if b <= cap] or [budgets[0]]
         gm_c, _ = plan(p, vb, target_time[: len(vb)], draft_time,
                        max_depth=args.max_depth, max_branch=args.max_branch)

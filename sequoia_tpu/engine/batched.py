@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .baseline import ARBaseline, ARState
-from .engine import DecodeState, SpecEngine
+from .engine import DecodeState, SpecEngine, _round_up
 from ..utils import prng_key
 
 
@@ -607,3 +607,214 @@ class BatchedSpecEngine(SpecEngine):
                     slot_req[s] = -1
         assert all(r is not None for r in results)
         return results
+
+    # ------------------------------------------------------------------
+    # Fully device-resident continuous batching
+    # ------------------------------------------------------------------
+
+    def _admit_prefill_step(self, dparams, tparams, bstate: DecodeState,
+                            queue_tokens, queue_lens, slot_req, mode, ppos):
+        """One chunked-prefill step for every slot in PREFILL mode, vmapped
+        across the batch. Non-prefilling slots run the same chunk forward
+        with their KV/token writes pointed at the reserved tail zone
+        [M-C, M) — `serve_device`'s finish predicate keeps every committed
+        row below M-C, and attention reads are masked to committed/scratch
+        rows, so the tail garbage is never observable — then have their
+        visible state where-merged back. One compiled program regardless of
+        WHICH subset of slots is admitting."""
+        C = self.prefill_chunk
+        M = self.max_length
+        prefilling = mode & (slot_req >= 0)
+        req_c = jnp.where(slot_req >= 0, slot_req, 0)
+        prow = queue_tokens[req_c]                       # [B, P_pad]
+        chunk = jax.vmap(
+            lambda row, off: jax.lax.dynamic_slice(row, (off,), (C,))
+        )(prow, ppos)                                    # [B, C]
+        plens = queue_lens[req_c]
+        off_eff = jnp.where(prefilling, ppos, M - C)
+        plen_eff = jnp.where(prefilling, plens, jnp.int32(-1))
+        nstate = jax.vmap(
+            self._prefill_chunk_impl,
+            in_axes=(None, None, self.state_axes, 0, 0, 0),
+            out_axes=self.state_axes,
+        )(dparams, tparams, bstate, chunk, off_eff, plen_eff)
+        pf = prefilling
+        merged = nstate._replace(
+            tokens=jnp.where(pf[:, None], nstate.tokens, bstate.tokens),
+            gtl=jnp.where(pf, nstate.gtl, bstate.gtl),
+            root_draft_logits=jnp.where(pf[:, None], nstate.root_draft_logits,
+                                        bstate.root_draft_logits),
+            key=bstate.key,
+            terminal=bstate.terminal,
+        )
+        ppos2 = jnp.where(pf, ppos + C, ppos)
+        done_pf = pf & (ppos2 >= plens)
+        return merged, mode & ~done_pf, ppos2
+
+    def _serve_device_impl(self, dparams, tparams, bstate: DecodeState,
+                           queue_tokens, queue_lens, slot_req0, mode0,
+                           max_new, base_key):
+        """One `lax.while_loop` serving the ENTIRE queued workload: decode
+        iterations, finish detection, result capture, admission, and chunked
+        admission prefill all happen on device. The host dispatches once and
+        reads back the packed results — zero tunnel round-trips per admit
+        (vs ~3 syncs + a serialized single-request prefill per admit in
+        `serve_fast`, measured ~400 ms/admit over a remote-TPU tunnel).
+        While one slot prefills its admitted prompt chunk-by-chunk, the
+        other slots keep decoding — the batch never freezes for an admit,
+        and coinciding admits share one vmapped chunk forward."""
+        B = self.batch_size
+        C = self.prefill_chunk
+        M = self.max_length
+        n_q = queue_tokens.shape[0]
+
+        def _finished(state, produced):
+            # Committed rows must stay clear of the prefill tail zone.
+            return (
+                state.terminal
+                | (produced >= max_new)
+                | (state.gtl - 1 + self.tree_size > M - C)
+                | (state.gtl + self.max_depth + 1 > M - C)
+            )
+
+        def cond(carry):
+            return jnp.any(carry[1] >= 0)
+
+        def body(carry):
+            (state, slot_req, mode, ppos, produced, next_q, out_tokens,
+             out_prod, steps) = carry
+
+            # -- decode: every slot not idle and not mid-prefill ----------
+            decode_active = (slot_req >= 0) & ~mode
+            any_decode = jnp.any(decode_active)
+
+            def do_decode(op):
+                state, produced, steps = op
+                nstate, stats = jax.vmap(
+                    self._iterate_impl,
+                    in_axes=(None, None, self.state_axes),
+                    out_axes=(self.state_axes, 0),
+                )(dparams, tparams, state)
+                frozen = ~decode_active
+                nstate = nstate._replace(
+                    tokens=jnp.where(frozen[:, None], state.tokens,
+                                     nstate.tokens),
+                    gtl=jnp.where(frozen, state.gtl, nstate.gtl),
+                    terminal=jnp.where(frozen, state.terminal,
+                                       nstate.terminal),
+                    root_draft_logits=jnp.where(frozen[:, None],
+                                                state.root_draft_logits,
+                                                nstate.root_draft_logits),
+                )
+                produced = produced + jnp.where(decode_active,
+                                                stats.emitted, 0)
+                return nstate, produced, steps + 1
+
+            state, produced, steps = jax.lax.cond(
+                any_decode, do_decode, lambda op: op,
+                (state, produced, steps))
+
+            # -- finish + admit (vectorized multi-admit) ------------------
+            done = decode_active & _finished(state, produced)
+            req_out = jnp.where(done, slot_req, n_q)     # n_q = scrap row
+            out_tokens = out_tokens.at[req_out].set(state.tokens)
+            out_prod = out_prod.at[req_out].set(jnp.minimum(produced, max_new))
+            rank = jnp.cumsum(done.astype(jnp.int32)) - 1
+            new_req = next_q + rank
+            have = done & (new_req < n_q)
+            slot_req = jnp.where(done, jnp.where(have, new_req, -1), slot_req)
+            mode = mode | have
+            ppos = jnp.where(have, 0, ppos)
+            produced = jnp.where(done, 0, produced)
+            new_keys = jax.vmap(
+                lambda r: jax.random.fold_in(base_key, r)
+            )(jnp.where(have, new_req, 0))
+            state = state._replace(
+                gtl=jnp.where(have, 0, state.gtl),
+                terminal=jnp.where(have, False, state.terminal),
+                key=jnp.where(have, new_keys, state.key),
+            )
+            next_q = jnp.minimum(next_q + done.sum(), n_q)
+
+            # -- admission prefill (skipped when nobody is admitting) -----
+            any_pf = jnp.any(mode & (slot_req >= 0))
+
+            def do_pf(op):
+                st, md, pp = op
+                return self._admit_prefill_step(
+                    dparams, tparams, st, queue_tokens, queue_lens,
+                    slot_req, md, pp)
+
+            state, mode, ppos = jax.lax.cond(
+                any_pf, do_pf, lambda op: op, (state, mode, ppos))
+            return (state, slot_req, mode, ppos, produced, next_q,
+                    out_tokens, out_prod, steps)
+
+        init = (
+            bstate, slot_req0, mode0, jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32), jnp.asarray(min(B, n_q), jnp.int32),
+            jnp.zeros((n_q + 1, M), jnp.int32), jnp.zeros((n_q + 1,), jnp.int32),
+            jnp.asarray(0, jnp.int32),
+        )
+        carry = jax.lax.while_loop(cond, body, init)
+        return carry[6], carry[7], carry[8]
+
+    def serve_device(
+        self,
+        prompts: Iterable[np.ndarray],
+        max_new_tokens: int = 128,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Continuous batching with the whole workload in ONE device
+        dispatch (see `_serve_device_impl`). The prompt queue is staged as a
+        padded device array; compiled once per (queue length, padded prompt
+        length, max_new) signature. Returns outputs in input order.
+
+        The reference has no batching at all (its README lists it as an
+        open TODO); this is the TPU-native serving shape: admission,
+        prefill, decode, and completion all inside one XLA program."""
+        prompts = [np.asarray(p, np.int32).reshape(-1) for p in prompts]
+        n_q = len(prompts)
+        assert n_q >= 1
+        B = self.batch_size
+        C = self.prefill_chunk
+        M = self.max_length
+        P_pad = _round_up(max(len(p) for p in prompts), C)
+        for p in prompts:
+            assert len(p) >= 1
+            assert len(p) + self.tree_size <= M - C, (
+                "prompt too long for serve_device (tail C rows are the "
+                "masked-prefill scratch zone)")
+        queue_tokens = np.zeros((n_q, P_pad), np.int32)
+        queue_lens = np.asarray([len(p) for p in prompts], np.int32)
+        for i, p in enumerate(prompts):
+            queue_tokens[i, : len(p)] = p
+
+        base_key = prng_key(seed)
+        fresh = self._fresh_state(base_key, self.target_params.embed.dtype)
+        bstate = self._shard(self._stack_states([fresh] * B))
+        slot_req0 = np.full((B,), -1, np.int32)
+        slot_req0[: min(B, n_q)] = np.arange(min(B, n_q))
+        keys0 = jax.vmap(lambda r: jax.random.fold_in(base_key, r))(
+            jnp.asarray(np.maximum(slot_req0, 0)))
+        bstate = bstate._replace(key=keys0)
+        mode0 = jnp.asarray(slot_req0 >= 0)
+
+        if not hasattr(self, "_serve_device_fn"):
+            # No donation: the loop returns only the packed results, so the
+            # state buffers have no aliasing target (XLA frees them after
+            # their last use inside the loop regardless).
+            self._serve_device_fn = jax.jit(self._serve_device_impl)
+        out_tokens, out_prod, steps = self._serve_device_fn(
+            self.draft_params, self.target_params, bstate,
+            jnp.asarray(queue_tokens), jnp.asarray(queue_lens),
+            jnp.asarray(slot_req0), mode0,
+            jnp.asarray(max_new_tokens, jnp.int32), base_key,
+        )
+        out_tokens = np.asarray(jax.device_get(out_tokens))
+        out_prod = np.asarray(out_prod)
+        self.num_large_model_steps = int(steps)
+        self.num_decoding_steps = int(out_prod[:n_q].sum())
+        return [
+            out_tokens[i, : queue_lens[i] + out_prod[i]] for i in range(n_q)
+        ]

@@ -211,3 +211,47 @@ def test_serve_auto_policy_switch(models):
     assert len(outs) == 3
     for p, o in zip(PROMPTS[:3], outs):
         assert np.array_equal(o[: len(p)], p)
+
+
+def test_serve_device_matches_serve_fast(models):
+    """One-dispatch device-resident serving == host-scheduled continuous
+    batching (greedy is deterministic and key-independent, so outputs must
+    be token-identical, in input order)."""
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    kw = dict(algorithm="greedy", max_length=96, prefill_chunk=16)
+    host = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=2, **kw)
+    expected = host.serve_fast(PROMPTS, max_new_tokens=12, seed=0)
+    dev = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=2, **kw)
+    got = dev.serve_device(PROMPTS, max_new_tokens=12, seed=0)
+    assert len(got) == len(expected)
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
+    assert dev.num_decoding_steps == host.num_decoding_steps
+
+
+def test_serve_device_fewer_prompts_than_slots(models):
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    kw = dict(algorithm="greedy", max_length=96, prefill_chunk=16)
+    host = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=4, **kw)
+    expected = host.serve_fast(PROMPTS[:2], max_new_tokens=10, seed=0)
+    dev = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=4, **kw)
+    got = dev.serve_device(PROMPTS[:2], max_new_tokens=10, seed=0)
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
+
+
+def test_serve_device_stochastic_runs(models):
+    """Sequoia verification through serve_device: right count, right prompt
+    prefixes, produced lengths within bounds."""
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    kw = dict(algorithm="sequoia", max_length=96, prefill_chunk=16,
+              temperature=0.8, top_p=0.9)
+    eng = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=3, **kw)
+    outs = eng.serve_device(PROMPTS, max_new_tokens=9, seed=3)
+    assert len(outs) == len(PROMPTS)
+    for p, o in zip(PROMPTS, outs):
+        np.testing.assert_array_equal(o[: len(p)], p)
+        assert len(p) <= len(o) <= len(p) + 9

@@ -612,12 +612,22 @@ def main() -> None:
         t = min(pairs) if pairs else dt_l / it_l
         return t, it_l, eng
 
+    # Candidate trees at FORCED budgets (vb=[cap] pins the DP to that tree
+    # size; a cap on the budget list would just let it re-pick its model
+    # favorite) — the DP's cost model misses per-iteration overhead that
+    # scales with tree size, so the candidates are measured end to end and
+    # the best measured per-token wins. Wide trees also get a
+    # relaxed-branch-cap variant (higher E[accept], longer accept walk —
+    # again a measurement question).
     candidates = {(gm.size, int(gm.depth.max())): gm}
     for cap in (64, 96, 128, 192, 256, 384):
-        vb = [b for b in budgets if b <= cap] or [budgets[0]]
-        gm_c, _ = plan(p, vb, target_time[: len(vb)], draft_time,
-                       max_depth=args.max_depth, max_branch=args.max_branch)
-        candidates.setdefault((gm_c.size, int(gm_c.depth.max())), gm_c)
+        if cap not in budgets:
+            continue
+        t_cap = [target_time[budgets.index(cap)]]
+        for mb in ((args.max_branch,) if cap <= 96 else (args.max_branch, 32)):
+            gm_c, _ = plan(p, [cap], t_cap, draft_time,
+                           max_depth=args.max_depth, max_branch=mb)
+            candidates.setdefault((gm_c.size, int(gm_c.depth.max())), gm_c)
 
     best = None
     for (size, depth), gm_c in candidates.items():

@@ -3,6 +3,7 @@ prompt loading, and the chat template (reference `data_converter.py`,
 `tests/run_sequoia.py:82,284-297`)."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -70,3 +71,45 @@ def test_format_inst():
 def test_unknown_dataset():
     with pytest.raises(KeyError):
         load_dataset_by_name("nope-such-dataset")
+
+
+REF_DATASET = "/root/reference/dataset"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATASET),
+                    reason="reference artifacts not present")
+def test_reference_bundled_c4_small():
+    """The reference's actual bundled corpus (`dataset/c4_small.json`,
+    consumed by its `data_converter.convert_dataset`, data_converter.py:52-66)
+    must load through our offline JSONL path."""
+    ds = load_pretokenized_jsonl(
+        os.path.join(REF_DATASET, "c4_small.json"), seq_len=256)
+    assert len(ds) >= 100
+    assert ds.ids.shape[1] == 256
+    assert ds.ids.dtype == np.int32
+    # Llama-2 vocab range
+    assert int(ds.ids.max()) < 32000 and int(ds.ids.min()) >= 0
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATASET),
+                    reason="reference artifacts not present")
+def test_reference_bundled_arrow_dirs():
+    """The reference's `load_from_disk` eval dirs (openwebtext_eval,
+    c4_validation — loaded at tests/testbed.py via data_converter) must load
+    through our arrow-dir path."""
+    pytest.importorskip("datasets")
+    from sequoia_tpu.data.datasets import load_arrow_dir
+
+    loaded = 0
+    for name in ("openwebtext_eval", "c4_validation"):
+        path = os.path.join(REF_DATASET, name)
+        try:
+            ds = load_arrow_dir(path, seq_len=128)
+        except FileNotFoundError:
+            # the reference ships c4_validation/ metadata without its .arrow
+            continue
+        assert len(ds) >= 1
+        assert ds.ids.shape[1] == 128
+        loaded += 1
+    if not loaded:
+        pytest.skip("no complete arrow dirs bundled")

@@ -39,10 +39,6 @@ class LlamaConfig:
     # (Tree/SpecTree.py:208: `tokens[pos] == 0 or tokens[pos] == 2`); chat
     # runners override for Llama-3 (tests/greedy_run.py:129).
     stop_tokens: Tuple[int, ...] = (0, 2)
-    # Attention implementation: "xla" (einsum, default), "pallas" (fused
-    # Pallas kernel, TPU only), "pallas_interpret" (kernel in interpreter
-    # mode, for CPU tests).
-    attention_impl: str = "xla"
 
     @property
     def head_dim_(self) -> int:

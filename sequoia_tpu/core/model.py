@@ -267,25 +267,24 @@ def forward(
             scores = scores + bias[None, None, :, :]
             vf = vi.astype(hidden.dtype)
             v_scale = vs_c.T[:, None, None, :]
-        elif cfg.attention_impl == "xla" or split:
+        else:
+            # XLA fused attention (einsum -> softmax -> einsum) on every
+            # path. A dedicated Pallas tree-attention kernel was built,
+            # measured, and REMOVED (round 2): it only served the
+            # non-split float path nothing in production uses, it failed
+            # Mosaic lowering at llama-2-7b MHA shapes ([M, 1, D] KV blocks
+            # violate the (8, 128) tiling rule), and the A/B at serving
+            # shapes (scripts/probe_tree_attn_ab.py, v5e 2026-08-20) showed
+            # attention moves ~8-17 MB/layer against a ~210 MB/layer weight
+            # stream — even a 2x attention win changes the iteration ~1-2%,
+            # so the XLA path stays (reference equivalent:
+            # `Engine/Llama_modules.py:127-134` fused SDPA).
             scores = jnp.einsum(
                 "qhgd,mhd->hgqm", qg, k_cache, preferred_element_type=jnp.float32
             ) * scale                              # [Hkv, G, Q, M] f32
             scores = scores + bias[None, None, :, :]
             vf = v_cache
             v_scale = None
-        else:
-            from ..kernels.tree_attention import tree_attention
-
-            attn = tree_attention(
-                qg, k_cache, v_cache, attn_mask,
-                interpret=(cfg.attention_impl == "pallas_interpret"),
-            )
-            attn = attn.reshape(Q, H * D)
-            hidden = hidden + qmm(attn, lp.wo)
-            y = rms_norm(hidden, lp.mlp_norm, cfg.rms_norm_eps)
-            mlp = qmm(jax.nn.silu(qmm(y, lp.w_gate)) * qmm(y, lp.w_up), lp.w_down)
-            return hidden + mlp, (k_cache, v_cache)
 
         if split:
             scores_scr = jnp.einsum(

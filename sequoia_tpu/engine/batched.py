@@ -526,6 +526,14 @@ class BatchedSpecEngine(SpecEngine):
         self.serving_mode = choose_serving_mode(
             spec_iter_s, expected_accepted, ar_step_s)
         if self.serving_mode == "spec":
+            # Prefer the one-dispatch device-resident loop; fall back to the
+            # host-scheduled loop when a prompt can't clear serve_device's
+            # tail-reserve constraint.
+            prompts = [np.asarray(p, np.int32).reshape(-1) for p in prompts]
+            limit = self.max_length - self.prefill_chunk - self.tree_size
+            if prompts and all(1 <= len(p) <= limit for p in prompts):
+                return self.serve_device(
+                    prompts, max_new_tokens=max_new_tokens, seed=seed)
             return self.serve_fast(prompts, max_new_tokens=max_new_tokens,
                                    seed=seed)
         if ar_engine is None:

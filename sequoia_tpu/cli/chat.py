@@ -141,15 +141,12 @@ def main(argv=None) -> None:
 
     tokenizer = _load_tokenizer(args.tokenizer)
     target_params, target_cfg = build_params(
-        args.target, "auto", args.dtype, args.seed
+        args.target, "auto", args.dtype, args.seed,
+        quant_bits=None if args.quant == "none" else int(args.quant[3:]),
     )
     if args.stop_tokens:
         stops = tuple(int(t) for t in args.stop_tokens.split(","))
         target_cfg = dataclasses.replace(target_cfg, stop_tokens=stops)
-    if args.quant != "none":
-        from ..quant.quantize import quantize_model
-
-        target_params = quantize_model(target_params, bits=int(args.quant[3:]))
     if args.offloading:
         assert args.tp == 1, "offloading is the single-chip path; use TP instead"
         from ..engine.offload import offload_params

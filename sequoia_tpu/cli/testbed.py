@@ -22,12 +22,18 @@ import time
 import numpy as np
 
 
-def build_params(name_or_path: str, weights: str, dtype_str: str, seed: int):
+def build_params(name_or_path: str, weights: str, dtype_str: str, seed: int,
+                 quant_bits=None):
     """Resolve `(params, cfg)` from a preset name or HF checkpoint dir.
 
     `weights`: 'random' (latency-faithful random init), 'auto' (load real
     weights when `name_or_path` is a checkpoint dir, else random), or a path
-    to a checkpoint dir / torch state-dict file."""
+    to a checkpoint dir / torch state-dict file.
+
+    `quant_bits` (4/8): produce an int-quantized model. Random init goes
+    straight to quantized layers (`random_quantized_model`) — materializing
+    a 7B bf16 tree first and quantizing after transiently needs both copies
+    in HBM and OOMs a 16 GB chip."""
     import os
 
     import jax
@@ -46,6 +52,14 @@ def build_params(name_or_path: str, weights: str, dtype_str: str, seed: int):
         assert is_ckpt_dir, f"{name_or_path!r} is neither a preset nor a checkpoint dir"
         cfg = LlamaConfig.from_json(f"{name_or_path}/config.json")
     if weights == "random" or (weights == "auto" and not is_ckpt_dir):
+        if quant_bits is not None:
+            from ..quant.quantize import random_quantized_model
+
+            return (
+                random_quantized_model(cfg, jax.random.PRNGKey(seed),
+                                       bits=quant_bits),
+                cfg,
+            )
         params = pinit.random_params(cfg, jax.random.PRNGKey(seed), dtype=dtype)
     elif weights == "auto":
         params, cfg = pinit.load_hf_checkpoint(name_or_path, dtype=dtype)
@@ -56,6 +70,10 @@ def build_params(name_or_path: str, weights: str, dtype_str: str, seed: int):
 
         sd = torch.load(weights, map_location="cpu", weights_only=False)
         params = pinit.params_from_hf_state_dict(cfg, sd, dtype=dtype)
+    if quant_bits is not None:
+        from ..quant.quantize import quantize_model
+
+        params = quantize_model(params, bits=quant_bits)
     return params, cfg
 
 
@@ -128,6 +146,9 @@ def main(argv=None) -> None:
                     help="dataset window start (tests/testbed.py:27)")
     ap.add_argument("--end", type=int, default=None, help="dataset window end")
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8", "int4"],
+                    help="target weight quantization (random init goes "
+                         "straight to quantized layers — no bf16 transient)")
     ap.add_argument("--kv-quant", default="none", choices=["none", "int8", "int4"],
                     help="int8 target KV cache with per-row scales")
     ap.add_argument("--offloading", action="store_true",
@@ -145,7 +166,8 @@ def main(argv=None) -> None:
     from ..engine.engine import SpecEngine
 
     target_params, target_cfg = build_params(
-        args.target, args.target_weights, args.dtype, args.seed
+        args.target, args.target_weights, args.dtype, args.seed,
+        quant_bits=None if args.quant == "none" else int(args.quant[3:]),
     )
     if args.offloading:
         from ..engine.offload import offload_params

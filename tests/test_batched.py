@@ -255,3 +255,20 @@ def test_serve_device_stochastic_runs(models):
     for p, o in zip(PROMPTS, outs):
         np.testing.assert_array_equal(o[: len(p)], p)
         assert len(p) <= len(o) <= len(p) + 9
+
+
+def test_serve_device_int8_kv(models):
+    """serve_device with the quantized KV cache (the bench's batched
+    serving config): right count, right prefixes, bounded lengths."""
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    eng = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=2,
+                            algorithm="sequoia", max_length=96,
+                            prefill_chunk=16, kv_quant="int8",
+                            temperature=0.7, top_p=0.9)
+    prompts = PROMPTS[:4]
+    outs = eng.serve_device(prompts, max_new_tokens=8, seed=2)
+    assert len(outs) == len(prompts)
+    for p, o in zip(prompts, outs):
+        np.testing.assert_array_equal(o[: len(p)], p)
+        assert len(p) <= len(o) <= len(p) + 8

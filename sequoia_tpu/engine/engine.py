@@ -38,6 +38,7 @@ from ..kvcache.cache import KVCache, KVCache4, KVCache8
 from ..ops import masks
 from ..utils import prng_key
 from ..ops.sampling import (
+    draft_probs,
     sample_argmax,
     sample_categorical_probs,
     sample_with_replacement,
@@ -46,8 +47,9 @@ from ..ops.sampling import (
 )
 from ..trees.accept import (
     AcceptResult,
+    node_residual,
     resolve_path,
-    stochastic_accept,
+    stochastic_accept_decisions,
     token_match_accept,
 )
 from ..trees.growmap import GrowMap
@@ -360,31 +362,53 @@ class SpecEngine:
         # --- Accept walk (device-side) ----------------------------------
         key, k_r, k_bonus, k_tok = jax.random.split(key, 4)
         if self.algorithm in ("sequoia", "specinfer"):
+            # Staged walk: decisions first (static-prefix sorted-parent
+            # scan, no [size, vocab] residual output), then the residual
+            # replayed for the ONE node the bonus token needs — the
+            # [size, vocab] p_final of the naive walk made the iteration
+            # overhead scale with tree size (trees/accept.py).
             p = target_probs(target_logits, self.top_p, self.temperature)
             r = jax.random.uniform(k_r, (gm_size,), jnp.float32)
-            acc: AcceptResult = stochastic_accept(
+            is_sequoia = self.algorithm == "sequoia"
+            accepted_child = stochastic_accept_decisions(
                 p, draft_logits, tokens_tree, r, self._succ_np,
-                self.temperature,
-                strict=(self.algorithm == "sequoia"),
-                mask_rejected_draft=(self.algorithm == "sequoia"),
+                self.temperature, strict=is_sequoia,
+                mask_rejected_draft=is_sequoia,
+            )
+            path = resolve_path(
+                accepted_child, tokens_tree, self.stop_tokens,
+                max(self.max_depth, 1),
             )
         elif self.algorithm == "greedy":
             acc = token_match_accept(
                 jnp.argmax(target_logits, axis=-1).astype(jnp.int32),
                 tokens_tree, self._succ,
             )
+            path = resolve_path(
+                acc.accepted_child, tokens_tree, self.stop_tokens,
+                max(self.max_depth, 1),
+            )
         else:  # greedys
             p = target_probs(target_logits, self.top_p, self.temperature)
             sampled = sample_categorical_probs(k_tok, p).astype(jnp.int32)
             acc = token_match_accept(sampled, tokens_tree, self._succ)
-
-        path = resolve_path(
-            acc.accepted_child, tokens_tree, self.stop_tokens, max(self.max_depth, 1)
-        )
+            path = resolve_path(
+                acc.accepted_child, tokens_tree, self.stop_tokens,
+                max(self.max_depth, 1),
+            )
 
         # --- Bonus token -------------------------------------------------
         if self.algorithm in ("sequoia", "specinfer"):
-            res = acc.p_final[path.final_node]
+            fn = path.final_node
+            p_row = p[fn]
+            q_row = draft_probs(
+                jax.lax.dynamic_index_in_dim(draft_logits, fn, keepdims=False
+                                             )[None], self.temperature)[0]
+            childs = self._succ[fn]
+            valid = childs >= 0
+            ctok = tokens_tree[jnp.where(valid, childs, 0)]
+            res = node_residual(p_row, q_row, ctok, valid,
+                                mask_rejected_draft=is_sequoia)
             nan_residual = jnp.isnan(res).any()
             bonus = sample_categorical_probs(k_bonus, res).astype(jnp.int32)
             terminal = path.terminal | (~path.terminal & nan_residual)

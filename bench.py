@@ -657,6 +657,21 @@ def main() -> None:
     log(f"vs reference implied latency ({ref_ms_per_token:.2f} ms/token on "
         f"A100): {vs_ref_latency:.2f}x")
 
+    # Baseline-efficiency context for the speedup-RATIO comparison: the
+    # speedup ratio divides by each side's own AR baseline, so an efficient
+    # baseline *suppresses* the ratio. Ours decodes near the HBM roofline;
+    # the reference's fp16 torch baseline ran at ~27% of A100 HBM
+    # (24.2 ms/token for a 13.4 GB stream on 2.04 TB/s). Report both
+    # efficiencies so the ratio comparison is interpretable.
+    param_bytes = sum(
+        a.size * a.dtype.itemsize for a in jax.tree.leaves(target_params)
+        if hasattr(a, "dtype"))
+    V5E_HBM_GBS = 819.0
+    ar_eff = (param_bytes / 1e9) / t_base / V5E_HBM_GBS
+    log(f"AR baseline streams {param_bytes / 1e9:.1f} GB/token at "
+        f"{param_bytes / 1e9 / t_base:.0f} GB/s = {ar_eff * 100:.0f}% of v5e "
+        f"HBM (reference A100 fp16 baseline: ~27%)")
+
     # ---- 4. batched serving throughput (tokens/sec/chip north star) ------
     # Capability the reference lacks entirely (its README lists batching as
     # an open TODO): B independent requests each run the full fused
@@ -692,6 +707,8 @@ def main() -> None:
             "speedup_vs_own_ar": round(speedup, 3),
             "speedup_ratio_vs_ref_ratio": round(speedup / args.ref_speedup, 3),
             "ref_implied_ms_per_token_a100": round(ref_ms_per_token, 2),
+            "ar_baseline_hbm_efficiency": round(ar_eff, 3),
+            "ref_ar_baseline_hbm_efficiency_a100": 0.27,
             "batched": batched,
             "trained_pair": trained,
         },

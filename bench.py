@@ -260,7 +260,11 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     # single-request prefills) — the baseline the device-resident loop is
     # measured against. serve_auto routes to serve_device when prompts fit,
     # so serve_fast is called directly here for the A/B.
-    beng2.serve_fast(queued[:B], max_new_tokens=8)  # warmup/compile
+    # Warmup must run the FULL 2B-prompt queue: with only B prompts the
+    # batch fills and the queue empties, so the refill path
+    # (_bserve_until_any + _insert_slot_fn) never compiles and the timed
+    # run would pay its JIT on a cold cache (advisor finding, round 2).
+    beng2.serve_fast(queued, max_new_tokens=8)  # warmup/compile
     t0 = time.perf_counter()
     beng2.serve_fast(queued, max_new_tokens=gen_each)
     dt_serve = time.perf_counter() - t0

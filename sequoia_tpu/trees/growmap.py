@@ -199,6 +199,43 @@ def chain(length: int) -> GrowMap:
     )
 
 
+def tree_from_branches(steps: Sequence[Sequence[int]]) -> GrowMap:
+    """Build a growmap from explicit per-step child counts: `steps[i][j]` is
+    the number of children for the j-th frontier node at grow step i (0 =
+    leaf). Covers heterogeneous sibling-group sizes — the shape of every
+    planner-emitted growmap, which `chain`/`uniform_tree` cannot express."""
+    successors: List[List[int]] = [[]]
+    depths = [0]
+    frontier = [0]
+    roots: List[List[int]] = []
+    branches: List[List[int]] = []
+    n = 1
+    for bs in steps:
+        assert len(bs) == len(frontier), (len(bs), len(frontier))
+        roots.append(list(frontier))
+        branches.append([int(b) for b in bs])
+        new_frontier = []
+        for r, b in zip(frontier, bs):
+            kids = list(range(n, n + b))
+            successors[r].extend(kids)
+            successors.extend([[] for _ in kids])
+            depths.extend([depths[r] + 1] * b)
+            new_frontier.extend(kids)
+            n += b
+        frontier = new_frontier
+    size = n
+    anc = np.zeros((size, size), bool)
+    anc[0, 0] = True
+    parent = np.full(size, -1)
+    for i, ch in enumerate(successors):
+        for c in ch:
+            parent[c] = i
+    for i in range(1, size):
+        anc[i] = anc[parent[i]]
+        anc[i, i] = True
+    return GrowMap.from_fields(size, roots, branches, successors, anc, depths)
+
+
 def uniform_tree(depth: int, branch: int) -> GrowMap:
     """Fixed k×d tree (the reference's `L40_growmaps/8x8-tree.pt`-style
     SpecInfer comparison shapes, `run.sh:1-30`)."""

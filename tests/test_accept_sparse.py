@@ -9,7 +9,7 @@ import jax.numpy as jnp
 
 from sequoia_tpu.ops.sampling import target_probs
 from sequoia_tpu.trees.accept import stochastic_accept, stochastic_accept_dense
-from sequoia_tpu.trees.growmap import chain, uniform_tree
+from sequoia_tpu.trees.growmap import chain, tree_from_branches, uniform_tree
 
 
 def _rand_inputs(gm, key, vocab=64):
@@ -26,7 +26,9 @@ def _rand_inputs(gm, key, vocab=64):
 @pytest.mark.parametrize("gm_fn", [lambda: uniform_tree(3, 2),
                                    lambda: uniform_tree(1, 7),
                                    lambda: chain(6),
-                                   lambda: uniform_tree(2, 3)])
+                                   lambda: uniform_tree(2, 3),
+                                   lambda: tree_from_branches(
+                                       [[3], [1, 2, 0], [3, 0, 1]])])
 @pytest.mark.parametrize("strict,mask", [(True, True), (False, False)])
 def test_sparse_matches_dense(gm_fn, strict, mask):
     gm = gm_fn()
@@ -49,7 +51,14 @@ def test_sparse_matches_dense(gm_fn, strict, mask):
 @pytest.mark.parametrize("gm_fn", [lambda: uniform_tree(3, 2),
                                    lambda: uniform_tree(1, 7),
                                    lambda: chain(6),
-                                   lambda: uniform_tree(2, 3)])
+                                   lambda: uniform_tree(2, 3),
+                                   # Heterogeneous sibling-group sizes — the
+                                   # shape of every shipped growmap and the
+                                   # case the sorted-parent static-prefix
+                                   # construction exists for (advisor
+                                   # finding, round 2).
+                                   lambda: tree_from_branches(
+                                       [[3], [1, 2, 0], [3, 0, 1]])])
 @pytest.mark.parametrize("strict,mask", [(True, True), (False, False)])
 def test_staged_decisions_match_dense(gm_fn, strict, mask):
     """The staged walk (decisions only, sorted-parent static prefixes) must

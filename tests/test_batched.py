@@ -194,6 +194,46 @@ def test_batched_ar_serve_fast_drains_queue(models):
         assert np.array_equal(o[: len(p)], p)
 
 
+def test_serve_device_tail_reserve_budget(models):
+    """serve_device reserves the tail `prefill_chunk` rows as the masked-
+    prefill scratch zone, so a buffer-limited request stops up to ~C tokens
+    earlier than via serve_fast (advisor finding, round 2). Greedy decoding
+    is deterministic, so the exact produced lengths of BOTH paths are
+    predicted by replaying the single-request iteration stream against each
+    path's finish bound and pinned to the prediction."""
+    cfg, draft, target = models
+    gm = uniform_tree(2, 2)  # size 7, depth 2
+    M, C = 64, 16
+    kw = dict(algorithm="greedy", max_length=M, prefill_chunk=C)
+    prompt = PROMPTS[0]
+    big = 1000  # never binds: the buffer bound is what stops the request
+
+    single = SpecEngine(draft, cfg, target, cfg, gm, **kw)
+    emitted = [len(d) for d in single.stream(prompt, max_new_tokens=big)]
+    md = int(gm.depth.max())
+
+    def predict(bound):
+        gtl, produced = len(prompt), 0
+        for e in emitted:
+            gtl += e
+            produced += e
+            if (produced >= big or gtl - 1 + gm.size > bound
+                    or gtl + md + 1 > bound):
+                break
+        return produced
+
+    exp_fast, exp_dev = predict(M), predict(M - C)
+    assert exp_dev < exp_fast  # the tighter budget must actually bind
+
+    sf = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=1, **kw)
+    out_f = sf.serve_fast([prompt], max_new_tokens=big)[0]
+    sd = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=1, **kw)
+    out_d = sd.serve_device([prompt], max_new_tokens=big)[0]
+    assert len(out_f) - len(prompt) == exp_fast
+    assert len(out_d) - len(prompt) == exp_dev
+    np.testing.assert_array_equal(out_d, out_f[: len(out_d)])
+
+
 def test_serve_auto_policy_switch(models):
     """serve_auto must actually switch engines based on the measured costs
     and produce a full result set either way."""

@@ -85,6 +85,99 @@ def test_emitted_marginal_equals_target(strict, mask_rejected, k_children):
     )
 
 
+def test_depth2_second_token_marginal_equals_target():
+    """Depth-2 Monte-Carlo marginal equality — distribution-tests the two
+    walk branches the depth-1 star cannot reach (round-2 judge finding #6):
+    the descent to an interior node (`resolve_path` accept_count >= 2) and
+    the bonus drawn from `node_residual` REPLAYED at an interior node after
+    rejecting its children (`engine/engine.py:400-414`).
+
+    Tree: root with k1 WOR children, each child with k2 WOR grandchildren.
+    Target is context-independent (p0 at the root, p1 at every child), so
+    losslessness demands: CONDITIONED on some child being accepted, the
+    second emitted token — the accepted grandchild if any, else the bonus
+    from the interior node's residual — is distributed exactly p1."""
+    from sequoia_tpu.ops.sampling import draft_probs
+    from sequoia_tpu.trees.accept import (
+        node_residual,
+        stochastic_accept_decisions,
+    )
+
+    rng = np.random.default_rng(3)
+    temperature = 0.8
+    k1, k2 = 3, 2
+    size = 1 + k1 + k1 * k2
+    p0 = rng.dirichlet(np.ones(VOCAB) * 0.7).astype(np.float32)
+    p1 = rng.dirichlet(np.ones(VOCAB) * 0.9).astype(np.float32)
+    q0_logits = (rng.normal(size=VOCAB) * 1.5).astype(np.float32)
+    q1_logits = (rng.normal(size=VOCAB) * 1.5).astype(np.float32)
+
+    mb = max(k1, k2)
+    successors = np.full((size, mb), -1, np.int32)
+    successors[0, :k1] = np.arange(1, 1 + k1)
+    for j in range(k1):
+        successors[1 + j, :k2] = 1 + k1 + k2 * j + np.arange(k2)
+
+    p = np.tile(np.ones(VOCAB, np.float32)[None] / VOCAB, (size, 1))
+    p[0] = p0
+    p[1 : 1 + k1] = p1
+    dl = np.zeros((size, VOCAB), np.float32)
+    dl[0] = q0_logits
+    dl[1 : 1 + k1] = q1_logits
+    p_dev, dl_dev = jnp.asarray(p), jnp.asarray(dl)
+
+    def one(key):
+        kg0, kg1, kr, kb = jax.random.split(key, 4)
+        children = sample_without_replacement(
+            kg0, jnp.asarray(q0_logits)[None, :], temperature, k1)[0]
+        grand = sample_without_replacement(
+            kg1, jnp.tile(jnp.asarray(q1_logits)[None, :], (k1, 1)),
+            temperature, k2)
+        tokens_tree = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), children.astype(jnp.int32),
+             grand.reshape(-1).astype(jnp.int32)])
+        r = jax.random.uniform(kr, (size,))
+        accepted_child = stochastic_accept_decisions(
+            p_dev, dl_dev, tokens_tree, r, successors, temperature,
+            strict=True, mask_rejected_draft=True)
+        path = resolve_path(accepted_child, tokens_tree, (), 2)
+        # Engine bonus path (engine/engine.py:400-414): residual replayed at
+        # the walk's final node — here an INTERIOR node when accept_count==1.
+        fn = path.final_node
+        childs = jnp.asarray(successors)[fn]
+        valid = childs >= 0
+        ctok = tokens_tree[jnp.where(valid, childs, 0)]
+        q_row = draft_probs(
+            jax.lax.dynamic_index_in_dim(dl_dev, fn, keepdims=False)[None],
+            temperature)[0]
+        res = node_residual(p_dev[fn], q_row, ctok, valid,
+                            mask_rejected_draft=True)
+        bonus = sample_categorical_probs(kb, res).astype(jnp.int32)
+        tok2 = jnp.where(
+            path.accept_count >= 2,
+            tokens_tree[jnp.where(path.path[1] >= 0, path.path[1], 0)],
+            bonus)
+        return path.accept_count, tok2
+
+    N = 120000
+    keys = jax.random.split(jax.random.PRNGKey(11), N)
+    counts, tok2 = jax.jit(jax.vmap(one))(keys)
+    counts, tok2 = np.asarray(counts), np.asarray(tok2)
+    sel = counts >= 1
+    n_cond = int(sel.sum())
+    assert n_cond > N // 4  # the conditioning event must be well-populated
+    # Both sub-branches must actually occur, else the test proves nothing.
+    assert (counts[sel] >= 2).sum() > 1000, "deep-descent branch unexercised"
+    assert (counts[sel] == 1).sum() > 1000, "interior-residual branch unexercised"
+    freq = np.bincount(tok2[sel], minlength=VOCAB) / n_cond
+    std = np.sqrt(p1 * (1 - p1) / n_cond)
+    err = np.abs(freq - p1)
+    assert (err < 5 * std + 1e-3).all(), (
+        f"second-token marginal mismatch: max err {err.max():.4f} "
+        f"vs p1 {p1[np.argmax(err)]:.4f}"
+    )
+
+
 def test_sequoia_beats_specinfer_acceptance():
     """With identical budgets, without-replacement + draft masking must give
     >= acceptance than with-replacement SpecInfer (the paper's core claim)."""

@@ -44,6 +44,7 @@ from ..ops.sampling import (
     sample_with_replacement,
     sample_without_replacement,
     target_probs,
+    wor_from_gumbel,
 )
 from ..trees.accept import (
     AcceptResult,
@@ -252,13 +253,19 @@ class SpecEngine:
     # One speculative iteration (grow + verify + accept + compact + re-draft)
     # ------------------------------------------------------------------
 
-    def _draft_grow_sample(self, key, level, logits_roots):
+    def _draft_grow_sample(self, key, level, logits_roots, gumbel_rows=None):
         """Sample children for one growth level. Returns flat new tokens
         `[level_width]` in node order (`collective_grow_static` sampling,
-        `Tree/SpecTree.py:103-104`)."""
+        `Tree/SpecTree.py:103-104`). `gumbel_rows` carries pre-drawn noise
+        for the WOR race (one rbg call per growth, see `wor_from_gumbel`)."""
         max_k = self._level_max_k[level]
         if self.algorithm == "sequoia":
-            samples = sample_without_replacement(key, logits_roots, self.temperature, max_k)
+            if gumbel_rows is not None:
+                samples = wor_from_gumbel(
+                    logits_roots, gumbel_rows, self.temperature, max_k)
+            else:
+                samples = sample_without_replacement(
+                    key, logits_roots, self.temperature, max_k)
         elif self.algorithm == "specinfer":
             samples = sample_with_replacement(key, logits_roots, self.temperature, max_k)
         else:  # greedy growth by top-k logits (testbed_greedy / greedyS)
@@ -286,12 +293,27 @@ class SpecEngine:
         dscratch = KVCache.init(
             self.draft_cfg, gm_size, self.draft_params.embed.dtype)
 
+        # One noise block for every level's WOR race (sequoia): row block
+        # [row_off : row_off + num_roots(lvl)] serves level lvl. ~15 us of
+        # rbg setup saved per level; a depth-11 tree runs 11 levels.
+        g_all = None
+        if self.algorithm == "sequoia" and self.growmap.num_grow_steps > 0:
+            key, kg = jax.random.split(key)
+            total_rows = sum(len(r) for r in self.growmap.roots)
+            g_all = jax.random.gumbel(kg, (total_rows, self.vocab), jnp.float32)
+        row_off = 0
+
         for lvl in range(self.growmap.num_grow_steps):
             w = self._level_widths[lvl]
             start = self._level_starts[lvl]
+            nr = len(self.growmap.roots[lvl])
+            g_rows = None
+            if g_all is not None:
+                g_rows = g_all[row_off : row_off + nr]
+                row_off += nr
             key, sub = jax.random.split(key)
             new_tokens = self._draft_grow_sample(
-                sub, lvl, draft_logits[self._level_roots[lvl]]
+                sub, lvl, draft_logits[self._level_roots[lvl]], gumbel_rows=g_rows
             )
             tokens_tree = jax.lax.dynamic_update_slice(tokens_tree, new_tokens, (start,))
             tokens_buf = jax.lax.dynamic_update_slice(tokens_buf, new_tokens, (ts + start,))

@@ -172,6 +172,19 @@ def sample_without_replacement(
     race runs directly on `logits/T + gumbel` — two fewer full-vocab passes
     per tree level than normalizing first, same distribution exactly."""
     gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
+    return wor_from_gumbel(logits, gumbel, temperature, num_samples)
+
+
+def wor_from_gumbel(
+    logits: jax.Array, gumbel: jax.Array, temperature: float, num_samples: int
+) -> jax.Array:
+    """WOR race with caller-supplied gumbel noise. Lets the engine draw ONE
+    `[total_root_rows, vocab]` noise block per tree growth instead of one
+    rbg call per level: each rbg invocation carries ~15 us of fixed setup on
+    v5e (measured: 7 per-level draws 218 us vs one hoisted draw 113 us for
+    the same race), and a deep tree runs `depth` levels per iteration.
+    Same distribution — gumbel noise is i.i.d. across rows either way."""
+    assert gumbel.shape == logits.shape, (gumbel.shape, logits.shape)
     return top_k_indices(
         logits.astype(jnp.float32) / temperature + gumbel, num_samples)
 

@@ -338,10 +338,39 @@ def _bench_bf16_parity(args, p):
     draft_cfg = get_config(args.draft)
     M = max(args.max_length, 512)  # room for the big-tree regime
 
+    # Failure containment: an OOM inside the section must not starve the
+    # int8 sections that follow (observed: the exception's traceback pins
+    # the inner frame — and with it the 13.5 GB bf16 weights — while main's
+    # handler runs). Catch HERE, let the except block end (clearing the
+    # traceback and freeing the inner frame's locals), THEN gc and return
+    # None; no re-raise, so no __context__ chain keeps the frame alive.
+    err = None
+    held = {}
+    try:
+        return _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held)
+    except Exception as e:
+        err = f"{type(e).__name__}: {str(e)[:200]}"
+    held.clear()
+    gc.collect()
+    log(f"parity section skipped: {err}")
+    return None
+
+
+def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
+    import jax
+    import jax.numpy as jnp
+
+    from sequoia_tpu.core.init import random_params
+    from sequoia_tpu.engine.baseline import ARBaseline
+    from sequoia_tpu.engine.engine import SpecEngine
+    from sequoia_tpu.planner.dp import expected_accepted, plan
+    from sequoia_tpu.planner.profile import measure_latency_curve
+    from sequoia_tpu.quant.quantize import random_quantized_model
+
     t0 = time.perf_counter()
-    target_params = random_params(
+    target_params = held["t"] = random_params(
         target_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
-    draft_params = random_quantized_model(
+    draft_params = held["d"] = random_quantized_model(
         draft_cfg, jax.random.PRNGKey(1), bits=8)
     jax.block_until_ready((target_params.embed, draft_params.embed))
     log(f"[parity] bf16 target init: {time.perf_counter() - t0:.1f}s")
@@ -459,6 +488,9 @@ def _bench_bf16_parity(args, p):
         "roofline_ceiling_ratio": round(ceiling_ratio, 3),
     }
     del ar, target_params, draft_params, best, candidates
+    held.clear()
+    import gc
+
     gc.collect()
     return out
 
@@ -640,10 +672,9 @@ def main() -> None:
     # plus the int8 headline weights would not coexist in one 16 GB chip.
     parity = None
     if args.parity:
-        try:
-            parity = _bench_bf16_parity(args, default_acceptance_vector())
-        except Exception as e:
-            log(f"parity section skipped: {type(e).__name__}: {str(e)[:160]}")
+        # error containment lives inside _bench_bf16_parity (returns None
+        # on failure after releasing its HBM — see its comment)
+        parity = _bench_bf16_parity(args, default_acceptance_vector())
 
     t0 = time.perf_counter()
     if args.quant == "none":

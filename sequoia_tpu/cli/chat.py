@@ -57,7 +57,18 @@ def run_prompts(engine, prompts_tokens, args, tokenizer) -> dict:
         acc: list = []
         shown = 0
         t0 = time.perf_counter()
-        for new in engine.stream(prompt, max_new_tokens=args.gen, seed=args.seed + i):
+        chunk = getattr(args, "stream_chunk", 1)
+        if chunk > 1 and hasattr(engine, "stream_fast"):
+            # Device-resident chunks: one tunnel round-trip per ~chunk
+            # tokens instead of per iteration (CHAT_r02 measured the
+            # per-iteration sync at ~28 ms — more than the iteration).
+            stream = engine.stream_fast(
+                prompt, max_new_tokens=args.gen, chunk_tokens=chunk,
+                seed=args.seed + i)
+        else:
+            stream = engine.stream(
+                prompt, max_new_tokens=args.gen, seed=args.seed + i)
+        for new in stream:
             if tokenizer is not None:
                 text = _decode_stream(tokenizer, new, acc)
                 sys.stdout.write(text[shown:])
@@ -121,6 +132,9 @@ def main(argv=None) -> None:
     ap.add_argument("--P", type=float, default=0.9)
     ap.add_argument("--M", type=int, default=1024, help="max buffer length")
     ap.add_argument("--gen", type=int, default=256)
+    ap.add_argument("--stream-chunk", type=int, default=16,
+                    help="tokens per streamed chunk (device-resident loop "
+                         "between yields; 1 = sync every iteration)")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     ap.add_argument("--stop-tokens", default=None,

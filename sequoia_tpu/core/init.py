@@ -26,8 +26,17 @@ def random_params(
     keys = jax.random.split(key, 10)
 
     def init(k, shape, fan_in):
-        # Truncated-normal-ish scaling keeps logits in a sane range for tests.
-        return (jax.random.normal(k, shape, jnp.float32) * min(scale, 1.0 / math.sqrt(fan_in))).astype(dtype)
+        # Truncated-normal-ish scaling keeps logits in a sane range for
+        # tests. One fused jit per leaf: the eager form allocated an f32
+        # [L, E, F] transient per weight (5.8 GB for llama-2-7b w_down),
+        # which pushed a 13.5 GB bf16 init over a 16 GB chip.
+        s = min(scale, 1.0 / math.sqrt(fan_in))
+
+        @jax.jit
+        def _mk(k):
+            return (jax.random.normal(k, shape, jnp.float32) * s).astype(dtype)
+
+        return _mk(k)
 
     layers = LayerParams(
         attn_norm=jnp.ones((L, E), dtype),

@@ -41,6 +41,29 @@ def test_stream_matches_generate(tiny):
     assert all(1 <= len(c) <= eng2.max_depth + 1 for c in streamed)
 
 
+@pytest.mark.parametrize("chunk", [1, 5, 16, 64])
+def test_stream_fast_matches_generate(tiny, chunk):
+    """Device-resident chunked streaming (one dispatch + one fetch per
+    chunk) must commit exactly the sequence `generate_fast` commits, for
+    any chunk size, including budgets not divisible by the chunk."""
+    cfg, draft, target = tiny
+    gm = uniform_tree(3, 2)
+    prompt = np.array([11, 23, 5, 99, 42, 7])
+    eng = SpecEngine(draft, cfg, target, cfg, gm, algorithm="greedy",
+                     max_length=128, prefill_chunk=16)
+    full = eng.generate_fast(prompt, max_new_tokens=24, seed=0)
+    n_steps = eng.num_large_model_steps
+    eng2 = SpecEngine(draft, cfg, target, cfg, gm, algorithm="greedy",
+                      max_length=128, prefill_chunk=16)
+    streamed = list(eng2.stream_fast(prompt, max_new_tokens=24,
+                                     chunk_tokens=chunk, seed=0))
+    got = np.concatenate([prompt] + streamed)
+    np.testing.assert_array_equal(full, got)
+    assert eng2.num_large_model_steps >= n_steps  # chunk budget can only
+    # split an iteration's commit across dispatches, never skip one
+    assert all(1 <= len(c) <= chunk + eng2.max_depth + 1 for c in streamed)
+
+
 def test_baseline_stream_matches_generate(tiny):
     cfg, _, target = tiny
     prompt = np.array([3, 1, 4, 1, 5])

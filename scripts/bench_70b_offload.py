@@ -109,6 +109,12 @@ def main():
     ar = ARBaseline(tparams, tcfg, max_length=args.max_length,
                     temperature=0.6, top_p=0.9, prefill_chunk=128,
                     kv_quant=args.kv_quant)
+    # Fail-fast precheck: one host-stepped token compiles only the prefill
+    # + single-step programs (~minutes) — staging/HBM problems surface here
+    # instead of after the ~20-minute while-loop compile.
+    t0 = time.perf_counter()
+    ar.generate(prompt[:16], max_new_tokens=1)
+    log(f"precheck (1 offloaded step): {time.perf_counter() - t0:.0f}s")
     t0 = time.perf_counter()
     ar.generate_fast(prompt, max_new_tokens=2)  # compile + warmup
     log(f"AR compile+warmup: {time.perf_counter() - t0:.0f}s")

@@ -50,6 +50,30 @@ def _put(tree, space):
     return jax.tree.map(lambda a: jax.device_put(a, space), tree)
 
 
+def _put_streamed(tree):
+    """Host-stage the big weight tensors; keep sub-3D leaves (the [L, E]
+    norm stacks — ~100 KB/layer) device-resident. Mosaic cannot
+    dynamic-slice one row out of a bf16 [L, E] HOST-space array (the
+    (2, 1) sublane packing pairs rows: "Sublane slicing size not multiple
+    of chunk sublane size", measured round 3 — it failed EVERY model
+    offload compile on the TPU tunnel); 3-D leaves slice on the untiled
+    major axis and stream fine. Streaming norms saved nothing anyway."""
+    from jax.memory import Space
+
+    return jax.tree.map(
+        lambda a: jax.device_put(
+            a, Space.Host if a.ndim >= 3 else Space.Device),
+        tree,
+    )
+
+
+def _leaf_on_host(a) -> bool:
+    try:
+        return "host" in (a.sharding.memory_kind or "")
+    except Exception:
+        return False
+
+
 def offload_params(params: LlamaParams, stay_layers: int = 0) -> LlamaParams:
     """Split `params.layers` into `stay_layers` device-resident layers plus a
     host-resident streamed remainder (the reference's `--staylayer` knob,
@@ -73,7 +97,7 @@ def offload_params(params: LlamaParams, stay_layers: int = 0) -> LlamaParams:
     streamed = jax.tree.map(lambda p: p[1], pieces, is_leaf=is_pair)
     layers = OffloadLayers(
         resident=_put(resident, Space.Device) if stay_layers else None,
-        streamed=_put(streamed, Space.Host),
+        streamed=_put_streamed(streamed),
     )
     return LlamaParams(
         embed=jax.device_put(params.embed, Space.Device),
@@ -106,9 +130,17 @@ def offloaded_bytes(params: LlamaParams):
     """(host_bytes, device_bytes) for an offloaded (or resident) model."""
     layers = params.layers
     if isinstance(layers, OffloadLayers):
-        host = sum(a.size * a.dtype.itemsize for a in jax.tree.leaves(layers.streamed))
+        streamed = jax.tree.leaves(layers.streamed)
+        # CPU backend maps Space.Host to plain 'device' memory; fall back
+        # to the placement rule (ndim >= 3 streams, see _put_streamed).
+        if any(_leaf_on_host(a) for a in streamed):
+            on_host = _leaf_on_host
+        else:
+            on_host = lambda a: a.ndim >= 3
+        host = sum(a.size * a.dtype.itemsize for a in streamed if on_host(a))
         dev_leaves = (
             list(jax.tree.leaves(layers.resident or ()))
+            + [a for a in streamed if not on_host(a)]
             + [params.embed, params.final_norm]
             + list(jax.tree.leaves(params.lm_head))
         )
@@ -205,8 +237,10 @@ def random_offloaded_params(
     def split_put(leaf):
         head = jax.device_put(np.ascontiguousarray(leaf[:stay_layers]),
                               Space.Device)
+        # sub-3D leaves stay device-resident (see _put_streamed)
+        tail_space = Space.Host if leaf.ndim >= 3 else Space.Device
         tail = jax.device_put(np.ascontiguousarray(leaf[stay_layers:]),
-                              Space.Host)
+                              tail_space)
         return head, tail
 
     pieces = jax.tree.map(split_put, layers_host)

@@ -84,6 +84,22 @@ def test_offloaded_bytes_split(params):
     assert host + dev == dev0
 
 
+def test_streamed_placement_rule_no_sub3d_host_leaves(params):
+    """Only >=3-D weight stacks may live in host space: Mosaic cannot
+    dynamic-slice one row from a bf16 [L, E] host array (sublane (2,1)
+    packing), which broke every model-offload compile on real TPU until
+    round 3. The [L, E] norm stacks must therefore stay device-resident;
+    host bytes must equal exactly the >=3-D streamed leaves."""
+    import jax
+
+    off = offload_params(params, stay_layers=1)
+    streamed = jax.tree.leaves(off.layers.streamed)
+    assert any(a.ndim < 3 for a in streamed)  # norms are in the scan xs
+    host, _ = offloaded_bytes(off)
+    expect = sum(a.size * a.dtype.itemsize for a in streamed if a.ndim >= 3)
+    assert host == expect
+
+
 @pytest.mark.parametrize("gm_name", ["chain4", "tree_2x2"])
 def test_greedy_spec_with_offloaded_target_equals_ar(gm_name):
     """Offloaded target inside the fused speculative iteration: greedy spec

@@ -143,10 +143,15 @@ def _pick_blocks(R: int, Kq: int, N: int, want_n: int, want_kq: int):
     def vmem(bn, bkq):
         x = R * bkq * 2 * 2            # bf16, double-buffered (x2 for int4 halves)
         q = bkq * bn * 1 * 2           # int8 bytes, double-buffered
+        # int4 unpack temporaries: the f32 convert plane plus two bf16
+        # nibble planes live on the kernel's VMEM stack — omitting them
+        # blew the 16 MB scoped limit at R=256 (18.3 MB requested; OOM'd
+        # the offload width profile at budget 256, round 3).
+        unpack = bkq * bn * 8
         acc = R * bn * 4
         out = R * bn * 4 * 2
         s = 4 * bn * 2
-        return 2 * x + q + acc + out + s
+        return 2 * x + q + unpack + acc + out + s
 
     while vmem(bn, bkq) > 12 * 1024 * 1024 and bkq > 512:
         bkq //= 2

@@ -57,7 +57,12 @@ def main():
     ap.add_argument("--profile-reps", type=int, default=3)
     ap.add_argument("--ref-speedup", type=float, default=9.96,
                     help="paper's offloading speedup for this pair (L40)")
-    ap.add_argument("--dst", default="BENCH70B_r02.json")
+    ap.add_argument("--vocab", type=int, default=0,
+                    help="truncate both vocabularies to this size (the "
+                         "reference's --vocab 32000 for the "
+                         "sheared-1.3b -> vicuna-33b pair, "
+                         "tests/run_sequoia.py:325); 0 = off")
+    ap.add_argument("--dst", default="BENCH70B_r03.json")
     ap.add_argument("--save-growmap", default="growmaps")
     args = ap.parse_args()
 
@@ -82,6 +87,14 @@ def main():
     log(f"devices: {jax.devices()}")
     tcfg = get_config(args.target)
     dcfg = get_config(args.draft)
+    if args.vocab:
+        # The reference's --vocab knob (tests/run_sequoia.py:325): vicuna-33b
+        # carries 32032 tokens vs the 32000 of its llama drafts; the chat
+        # runners truncate the target head to the shared prefix.
+        import dataclasses
+
+        tcfg = dataclasses.replace(tcfg, vocab_size=args.vocab)
+        dcfg = dataclasses.replace(dcfg, vocab_size=args.vocab)
 
     t0 = time.perf_counter()
     tparams = random_offloaded_params(

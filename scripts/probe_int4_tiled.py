@@ -11,6 +11,22 @@ If tiled-contiguous recovers >=500 GB/s (vs ~270-420 measured for the
 row-major layout), the fix is a tiled weight storage option in
 QuantizedTensor; if not, the bottleneck is elsewhere (issue order /
 pipeline depth) and tiling is not worth the layout surgery.
+
+MEASURED (v5e, round 3) — and a caveat that blunts the conclusion: with a
+single 117 MB weight reused across the timing loop, the weight is
+loop-invariant and FITS VMEM (128 MB), so reps 2+ never touch HBM:
+row-major clocked 813 GB/s (~= the HBM roofline from the first-rep
+stream) and tiled an impossible 3371 GB/s (pure VMEM-resident compute,
+4.1x faster than row-major AT EQUAL BYTES — the layout clearly helps the
+on-chip pipeline). This microbench therefore shows tiled wins the
+RESIDENT regime but cannot isolate streamed-DMA bandwidth; the
+full-model numbers (270-420 GB/s int4, kernels/quant_matmul.py header)
+remain the streamed ground truth, and a tiled QuantizedTensor storage
+variant (layout + sharding + loader surgery) is the candidate fix to
+carry that 4.1x pipeline win into the streamed case. (Also note: axon
+caches same-input execution results — the first version of this probe
+reported 7920 GB/s because a differenced pair collapsed to two cache
+hits; inputs must vary per call.)
 """
 
 import functools
@@ -111,9 +127,13 @@ def main():
         n1, n2 = jnp.asarray(max(2, Rr // 4), jnp.int32), jnp.asarray(Rr, jnp.int32)
         float(run(n1, x, qq, scale))
         samples = []
-        for _ in range(3):
-            t0 = time.perf_counter(); float(run(n1, x, qq, scale)); ts = time.perf_counter() - t0
-            t0 = time.perf_counter(); float(run(n2, x, qq, scale)); tl = time.perf_counter() - t0
+        for j in range(3):
+            # vary x per call: the axon runtime caches same-input execution
+            # results, which collapsed a differenced pair to ~0 (a reported
+            # "7920 GB/s" — 10x the HBM roofline)
+            xs, xl = x + (2 * j + 1) * 1e-3, x + (2 * j + 2) * 1e-3
+            t0 = time.perf_counter(); float(run(n1, xs, qq, scale)); ts = time.perf_counter() - t0
+            t0 = time.perf_counter(); float(run(n2, xl, qq, scale)); tl = time.perf_counter() - t0
             samples.append((tl - ts) / (Rr - max(2, Rr // 4)))
         samples.sort()
         t = samples[1]

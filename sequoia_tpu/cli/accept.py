@@ -35,6 +35,9 @@ def main(argv=None) -> None:
     args = ap.parse_args(argv)
 
     from ..planner.acceptance import dynamic_acceptance, static_acceptance
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
 
     target_params, target_cfg = build_params(
         args.target, args.target_weights, args.dtype, args.seed

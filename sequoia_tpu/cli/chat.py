@@ -151,7 +151,10 @@ def main(argv=None) -> None:
     from ..data.datasets import ensure_mt_bench, format_inst, load_mt_bench_prompts
     from ..engine.baseline import ARBaseline
     from ..engine.engine import SpecEngine
+    from ..utils import enable_compile_cache
     from .testbed import build_params, load_growmap, load_prompts
+
+    enable_compile_cache()
 
     tokenizer = _load_tokenizer(args.tokenizer)
     target_params, target_cfg = build_params(

@@ -164,6 +164,9 @@ def main(argv=None) -> None:
 
     from ..engine.baseline import ARBaseline
     from ..engine.engine import SpecEngine
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
 
     target_params, target_cfg = build_params(
         args.target, args.target_weights, args.dtype, args.seed,

@@ -29,6 +29,25 @@ def hard_sync_all_devices() -> None:
     jax.device_get(jnp.zeros((1,)) + 1)
 
 
+def enable_compile_cache(path: str = None) -> None:
+    """Persistent compilation cache for CLI entry points. Over the
+    remote-TPU tunnel a single jit compile costs 30-90 s and every process
+    starts cold — without this, a fresh `cli.chat` run spent ~60 s of its
+    'generation' wall-clock compiling (measured round 3: 522 ms/token
+    first run vs ~10 with a warm cache). bench.py already did this;
+    every CLI should."""
+    import os
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            path or os.environ.get("SEQUOIA_COMPILE_CACHE",
+                                   "/tmp/jax_compile_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 def prng_key(seed) -> jax.Array:
     """Engine-wide PRNG key: the XLA `RngBitGenerator` ('rbg') impl.
 

@@ -35,7 +35,7 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--eval-rows", type=int, default=48)
     ap.add_argument("--eval-seq-len", type=int, default=128)
-    ap.add_argument("--dst", default="QUALITY_r02.json")
+    ap.add_argument("--dst", default="QUALITY_r03.json")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -59,8 +59,12 @@ def main():
     t0 = time.perf_counter()
     # Train on the first 160 corpus rows; rows 160:200 are held out for the
     # perplexity/acceptance eval (the bundled corpus has exactly 200 rows).
+    # Round 3: the deeper 8L-256h pair (bench.py's realized-acceptance
+    # config) — quantization deltas on a 4L-128h model were mostly noise.
     draft, dcfg, target, tcfg = make_correlated_pair(
-        steps=args.steps, seq_len=64, distill_draft=True, corpus_limit=160)
+        steps=args.steps, seq_len=64, distill_draft=True, corpus_limit=160,
+        target_shape=(8, 256), draft_shape=(2, 128),
+        draft_steps=2 * args.steps)
     log(f"trained pair ({args.steps} steps): {time.perf_counter() - t0:.0f}s")
 
     all_rows = corpus_from_reference(

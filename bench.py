@@ -55,7 +55,15 @@ def _fused_iter_time(eng, state, reps=24):
     import jax.numpy as jnp
 
     @jax.jit
-    def loop(dp, tp, st, n):
+    def loop(dp, tp, st, salt, n):
+        # Perturb the initial tokens by a per-call salt so no two timed
+        # dispatches share bit-identical inputs (the runtime caches
+        # same-input executions — see scripts/probe_int4_tiled.py, which
+        # observed an identical-input differenced pair collapse to cache
+        # hits). Token VALUES don't affect latency (static shapes), so the
+        # measurement is unchanged; only the cache key differs.
+        st = st._replace(tokens=st.tokens + salt)
+
         def body(i, s):
             s2, _ = eng._iterate_impl(dp, tp, s)
             return s2._replace(gtl=st.gtl, terminal=st.terminal)
@@ -68,19 +76,28 @@ def _fused_iter_time(eng, state, reps=24):
 
 def _diff_timed(loop, fixed_args, reps):
     """Short/long differenced timing of a traced-trip-count jitted loop;
-    median of 3 samples."""
+    median of 3 samples.
+
+    `loop` must accept (*fixed_args, salt, n) and fold `salt` into its
+    inputs: every call here passes a DISTINCT salt so no two dispatches
+    (warmup included) ever share bit-identical input buffers — the runtime
+    caches same-input executions, and a cache hit would silently replace
+    the iteration's time with RTT (advisor finding r3; same discipline as
+    planner/profile.py's per-sample token offsets)."""
     import jax.numpy as jnp
 
     r1 = max(2, reps // 4)
     n1, n2 = jnp.asarray(r1, jnp.int32), jnp.asarray(reps, jnp.int32)
-    float(loop(*fixed_args, n1))  # compile + warmup
+    float(loop(*fixed_args, jnp.asarray(0, jnp.int32), n1))  # compile + warmup
     samples = []
-    for _ in range(3):
+    for j in range(3):
+        s_s = jnp.asarray(1 + 2 * j, jnp.int32)
+        s_l = jnp.asarray(2 + 2 * j, jnp.int32)
         t0 = time.perf_counter()
-        float(loop(*fixed_args, n1))
+        float(loop(*fixed_args, s_s, n1))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(loop(*fixed_args, n2))
+        float(loop(*fixed_args, s_l, n2))
         t_l = time.perf_counter() - t0
         samples.append((t_l - t_s) / (reps - r1))
     samples.sort()
@@ -97,7 +114,9 @@ def _ar_step_time(ar, prompt, reps=32):
     state, _ = ar._prefill_state(prompt, seed=0)
 
     @jax.jit
-    def loop(params, st, n):
+    def loop(params, st, salt, n):
+        st = st._replace(tokens=st.tokens + salt)  # per-call input salt, see _diff_timed
+
         def body(i, s):
             s2, _ = ar._step_impl(params, s)
             return s2._replace(n=st.n, terminal=st.terminal)
@@ -526,10 +545,11 @@ def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
     floor_s = (iter_bytes / 1e9) / (ar_eff * V5E_HBM_GBS)
     ceiling_ratio = (e_acc * t_base / floor_s) / args.ref_speedup
     curve_ceiling = max(
-        float(expected_accepted(plan(p, [b], [t], 1e-9,
-                                     max_depth=args.max_depth,
-                                     max_branch=32)[0], p)) * t_base / t
-        for b, t in zip(budgets, target_time) if b > 1
+        (float(expected_accepted(plan(p, [b], [t], 1e-9,
+                                      max_depth=args.max_depth,
+                                      max_branch=32)[0], p)) * t_base / t
+         for b, t in zip(budgets, target_time) if b > 1),
+        default=0.0,
     ) / args.ref_speedup
     log(f"[parity] size={gm.size} E={e_acc:.3f}: {t_iter * 1e3:.2f} ms/iter "
         f"-> {per_token * 1e3:.2f} ms/token, speedup {speedup:.2f}x vs bf16 "
@@ -932,11 +952,14 @@ def main() -> None:
     overhead_ms = (t_iter - t_tgt_s) * 1e3 if t_tgt_s else None
     floor_s = (iter_bytes / 1e9) / (ar_eff * V5E_HBM_GBS)
     ceiling_ratio = (e_acc * t_base / floor_s) / args.ref_speedup
+    # default=0.0 guards the single-budget curve (only budget 1 survives the
+    # fit filter under a large --prefix-len): emit 0.0 rather than crash.
     curve_ceiling = max(
-        float(expected_accepted(plan(p, [b], [t], 1e-9,
-                                     max_depth=args.max_depth,
-                                     max_branch=32)[0], p)) * t_base / t
-        for b, t in zip(budgets, target_time) if b > 1
+        (float(expected_accepted(plan(p, [b], [t], 1e-9,
+                                      max_depth=args.max_depth,
+                                      max_branch=32)[0], p)) * t_base / t
+         for b, t in zip(budgets, target_time) if b > 1),
+        default=0.0,
     ) / args.ref_speedup
     log(f"spec iteration streams {iter_bytes / 1e9:.1f} GB at "
         f"{iter_eff * 100:.0f}% of v5e HBM; overhead vs same-process "

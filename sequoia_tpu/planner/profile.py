@@ -143,16 +143,21 @@ def time_forward_widths(
         # run UNDERestimates), which fed the planner width-curve outliers
         # (observed: 8.45 ms at width 64 between 9.5 ms neighbors).
         samples = []
+        # Token offsets start past the warmup range (warmup used
+        # tokens + 2 .. tokens + 1 + warmup with the same n1 and an
+        # equal-valued fresh KV) so no timed dispatch can ever collide
+        # with a warmup dispatch under same-input execution caching.
+        base = 2 + warmup
         for j in range(3):
             kv = fresh_kv()
             jax.block_until_ready(kv.k)
             t0 = time.perf_counter()
-            float(timed(params, tokens + 2 * j, pos, kv, mask, scr_mask, n1)[0])
+            float(timed(params, tokens + base + 2 * j, pos, kv, mask, scr_mask, n1)[0])
             t_short = time.perf_counter() - t0
             kv = fresh_kv()
             jax.block_until_ready(kv.k)
             t0 = time.perf_counter()
-            float(timed(params, tokens + 2 * j + 1, pos, kv, mask, scr_mask, n2)[0])
+            float(timed(params, tokens + base + 2 * j + 1, pos, kv, mask, scr_mask, n2)[0])
             t_long = time.perf_counter() - t0
             samples.append((t_long - t_short) / (reps - r1))
         samples.sort()

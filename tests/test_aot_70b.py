@@ -50,56 +50,24 @@ def _abstract_sharded(abs_tree, specs, mesh):
 
 @pytest.mark.skipif(len(jax.devices()) < TP, reason="needs 8 (virtual) devices")
 def test_llama70b_int4_tp8_compiles_and_fits_hbm():
-    tcfg = get_config("llama-2-70b")
-    dcfg = get_config("llama-2-7b")  # the reference's 70B draft pair
-    check_tp_divisibility(tcfg, TP)
-    check_tp_divisibility(dcfg, TP)
-    mesh = make_mesh(tp=TP)
-
-    t_abs = jax.eval_shape(
-        lambda: random_quantized_model(tcfg, jax.random.PRNGKey(0), bits=4))
-    d_abs = jax.eval_shape(
-        lambda: random_quantized_model(dcfg, jax.random.PRNGKey(1), bits=4))
-    t_sds = _abstract_sharded(t_abs, tp_param_specs(t_abs), mesh)
-    d_sds = _abstract_sharded(d_abs, tp_param_specs(d_abs), mesh)
-
-    gm = GrowMap.load(str(GROWMAP))
-    max_length = 1024  # the reference's offloading M regime (--M 1024)
-    eng = SpecEngine(
-        d_sds, dcfg, t_sds, tcfg, gm, algorithm="sequoia",
-        max_length=max_length, temperature=0.6, top_p=0.9,
-        prefill_chunk=128, mesh=mesh, shard_draft=True)
-
-    state_abs = jax.eval_shape(
-        lambda: eng._fresh_state(jax.random.PRNGKey(0), jnp.bfloat16))
-
-    def state_spec(leaf):
-        if leaf.ndim == 4:            # KV rows [L, M, Hkv, D]
-            return P(None, None, "tp", None)
-        if leaf.ndim == 3:            # quantized-KV scales [L, M, Hkv]
-            return P(None, None, "tp")
-        return P(*([None] * leaf.ndim))
-
-    state_sds = jax.tree.map(
-        lambda s: jax.ShapeDtypeStruct(
-            s.shape, s.dtype, sharding=NamedSharding(mesh, state_spec(s))),
-        state_abs)
-
     # The full fused iteration: grow + verify + accept walk + commit +
-    # bonus re-draft, GSPMD-partitioned over the tp=8 mesh.
-    compiled = eng._iterate.lower(d_sds, t_sds, state_sds).compile()
-    ma = compiled.memory_analysis()
-    per_device = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
-                  + ma.output_size_in_bytes - ma.alias_size_in_bytes)
-    peak = max(per_device, ma.peak_memory_in_bytes)
+    # bonus re-draft, GSPMD-partitioned over the tp=8 mesh. The proof body
+    # is shared with `__graft_entry__.dryrun_multichip` (parallel/aot_proof)
+    # so the driver's MULTICHIP artifact witnesses the same claim.
+    from sequoia_tpu.parallel.aot_proof import aot_tp_memory_proof
+
+    proof = aot_tp_memory_proof(
+        target="llama-2-70b", draft="llama-2-7b", tp=TP,
+        max_length=1024,  # the reference's offloading M regime (--M 1024)
+        growmap_path=str(GROWMAP))
     # Measured on the virtual mesh: ~5.6 GB args (int4 70B/8 + int4 7B/8 +
     # KV at M=1024) + ~0.6 GB temps — comfortably inside one v5e.
-    assert peak <= V5E_HBM_BYTES, (
-        f"llama-2-70b int4 tp=8 iteration needs {peak / 1e9:.1f} GB "
+    assert proof.fits_v5e, (
+        f"llama-2-70b int4 tp=8 iteration needs {proof.peak_gb:.1f} GB "
         f"per chip > 16 GB v5e HBM")
     # Guard against silent replication: per-device argument bytes must be
     # roughly weights/TP (int4 70B ~= 34.5 GB total + 7B draft ~= 3.4 GB
     # + embeds replicated), nowhere near the unsharded total.
-    assert ma.argument_size_in_bytes < 8e9, (
-        f"arguments {ma.argument_size_in_bytes / 1e9:.1f} GB/device — "
+    assert proof.argument_bytes_per_device < 8e9, (
+        f"arguments {proof.argument_bytes_per_device / 1e9:.1f} GB/device — "
         f"weights look replicated, not tp-sharded")

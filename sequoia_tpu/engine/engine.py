@@ -39,6 +39,7 @@ from ..ops import masks
 from ..utils import prng_key
 from ..ops.sampling import (
     draft_probs,
+    nucleus_cutoff,
     sample_argmax,
     sample_categorical_probs,
     sample_with_replacement,
@@ -48,9 +49,11 @@ from ..ops.sampling import (
 )
 from ..trees.accept import (
     AcceptResult,
+    PathResult,
     node_residual,
     resolve_path,
     stochastic_accept_decisions,
+    stochastic_path_walk,
     token_match_accept,
 )
 from ..trees.growmap import GrowMap
@@ -99,8 +102,17 @@ class SpecEngine:
         mesh=None,
         shard_draft: bool = False,
         kv_quant: Optional[str] = None,
+        walk: str = "path",
     ) -> None:
         assert algorithm in ALGORITHMS, algorithm
+        assert walk in ("path", "staged"), walk
+        # Stochastic accept-walk implementation: "path" = sequential
+        # path-following walk (one lax.while_loop, lazily materialized
+        # per-node rows — ~depth [vocab]-row ops per iteration,
+        # trees/accept.py::stochastic_path_walk); "staged" = the batched
+        # sorted-parent decisions walk (~size row ops) kept as the
+        # measured/tested alternative and for the acceptance profiler.
+        self.walk = walk
         assert kv_quant in (None, "none", "int8", "int4"), kv_quant
         assert draft_cfg.vocab_size == target_cfg.vocab_size
         if algorithm in ("sequoia", "specinfer", "greedys"):
@@ -383,7 +395,26 @@ class SpecEngine:
 
         # --- Accept walk (device-side) ----------------------------------
         key, k_r, k_bonus, k_tok = jax.random.split(key, 4)
-        if self.algorithm in ("sequoia", "specinfer"):
+        walk_res = None
+        if self.algorithm in ("sequoia", "specinfer") and self.walk == "path":
+            # Path-following walk (default): tests only the visited nodes'
+            # edges, materializes p/q rows lazily, and its final residual
+            # row IS the bonus distribution — ~depth [vocab]-row ops
+            # instead of ~size (trees/accept.py::stochastic_path_walk).
+            r = jax.random.uniform(k_r, (gm_size,), jnp.float32)
+            is_sequoia = self.algorithm == "sequoia"
+            cut = nucleus_cutoff(target_logits, self.top_p, self.temperature)
+            walk_res = stochastic_path_walk(
+                target_logits, draft_logits, tokens_tree, r, self._succ_np,
+                self.temperature, cut, self.stop_tokens,
+                max(self.max_depth, 1), strict=is_sequoia,
+                mask_rejected_draft=is_sequoia,
+            )
+            path = PathResult(
+                path=walk_res.path, accept_count=walk_res.accept_count,
+                final_node=walk_res.final_node, terminal=walk_res.terminal,
+            )
+        elif self.algorithm in ("sequoia", "specinfer"):
             # Staged walk: decisions first (static-prefix sorted-parent
             # scan, no [size, vocab] residual output), then the residual
             # replayed for the ONE node the bonus token needs — the
@@ -421,16 +452,20 @@ class SpecEngine:
 
         # --- Bonus token -------------------------------------------------
         if self.algorithm in ("sequoia", "specinfer"):
-            fn = path.final_node
-            p_row = p[fn]
-            q_row = draft_probs(
-                jax.lax.dynamic_index_in_dim(draft_logits, fn, keepdims=False
-                                             )[None], self.temperature)[0]
-            childs = self._succ[fn]
-            valid = childs >= 0
-            ctok = tokens_tree[jnp.where(valid, childs, 0)]
-            res = node_residual(p_row, q_row, ctok, valid,
-                                mask_rejected_draft=is_sequoia)
+            if walk_res is not None:
+                res = walk_res.p_final_row
+            else:
+                fn = path.final_node
+                p_row = p[fn]
+                q_row = draft_probs(
+                    jax.lax.dynamic_index_in_dim(
+                        draft_logits, fn, keepdims=False)[None],
+                    self.temperature)[0]
+                childs = self._succ[fn]
+                valid = childs >= 0
+                ctok = tokens_tree[jnp.where(valid, childs, 0)]
+                res = node_residual(p_row, q_row, ctok, valid,
+                                    mask_rejected_draft=is_sequoia)
             nan_residual = jnp.isnan(res).any()
             bonus = sample_categorical_probs(k_bonus, res).astype(jnp.int32)
             terminal = path.terminal | (~path.terminal & nan_residual)

@@ -73,8 +73,25 @@ def top_p_threshold(probs: jax.Array, top_p: float, iters: int = 32) -> jax.Arra
     cand = jnp.min(jnp.where(probs > lo[..., None], probs, jnp.inf), axis=-1)
     mass_gt = jnp.sum(jnp.where(probs > cand[..., None], probs, 0.0), axis=-1)
     include_cand = mass_gt <= top_p
-    # Return an inclusive threshold t such that keep = probs >= t.
-    return jnp.where(include_cand, cand, jnp.nextafter(cand, jnp.inf))
+    # Return an inclusive threshold (keep = probs >= t) placed at the
+    # MIDPOINT of the gap below (inclusive) / above (exclusive) the
+    # boundary value — never exactly ON it. Consumers that re-derive row
+    # probabilities locally (the path walk's per-node softmax,
+    # trees/accept.py) can drift by 1 ulp from the probs used here; a
+    # midpoint threshold makes nucleus membership identical across those
+    # recomputations (the gap between DISTINCT f32 probabilities is far
+    # wider than recomputation drift).
+    below = jnp.max(
+        jnp.where(probs < cand[..., None], probs, -jnp.inf), axis=-1)
+    below = jnp.where(jnp.isfinite(below), below, 0.0)
+    above = jnp.min(
+        jnp.where(probs > cand[..., None], probs, jnp.inf), axis=-1)
+    above = jnp.where(jnp.isfinite(above), above, cand * 2.0)
+    t_inc = 0.5 * (cand + below)
+    t_inc = jnp.where(t_inc > below, t_inc, cand)   # ulp-adjacent guard
+    t_exc = 0.5 * (cand + above)
+    t_exc = jnp.where(t_exc > cand, t_exc, above)
+    return jnp.where(include_cand, t_inc, t_exc)
 
 
 def _threshold_auto(probs: jax.Array, top_p: float) -> jax.Array:
@@ -90,6 +107,28 @@ def _threshold_auto(probs: jax.Array, top_p: float) -> jax.Array:
         from ..kernels.top_p import top_p_threshold_fused
 
         return top_p_threshold_fused(probs, top_p)
+    return top_p_threshold(probs, top_p)
+
+
+def nucleus_cutoff(
+    logits: jax.Array, top_p: float, temperature: float
+) -> jax.Array:
+    """Per-row inclusive nucleus cutoff c for softmax(logits/T) — the ONLY
+    precomputed quantity the path-following walk needs (it re-derives rows
+    + kept-mass normalizers locally, so the `[rows, vocab]` probability
+    matrix never materializes). Keep = softmax >= c; zeros when top_p >= 1.
+    Fused from-logits kernel on TPU, XLA bisection elsewhere."""
+    if top_p >= 1.0:
+        return jnp.zeros(logits.shape[:-1], jnp.float32)
+    try:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu and logits.ndim == 2:
+        from ..kernels.top_p import top_p_threshold_from_logits
+
+        return top_p_threshold_from_logits(logits, top_p, temperature)
+    probs = jax.nn.softmax(logits.astype(jnp.float32) / temperature, axis=-1)
     return top_p_threshold(probs, top_p)
 
 

@@ -256,6 +256,141 @@ def node_residual(
     return p_row
 
 
+class WalkResult(NamedTuple):
+    path: jax.Array          # i32 [max_depth]: accepted tree nodes, -1 pad
+    accept_count: jax.Array  # i32 accepted tree nodes (excl. root)
+    final_node: jax.Array    # i32 node whose residual feeds the bonus token
+    terminal: jax.Array      # bool: stop token accepted on the path
+    p_final_row: jax.Array   # f32 [vocab]: bonus distribution at final_node
+                             # (residual after that node's rejections, or the
+                             # fresh filtered dist if it has no children)
+
+
+def stochastic_path_walk(
+    target_logits: jax.Array,  # f32 [size, vocab]
+    draft_logits: jax.Array,   # f32 [size, vocab]
+    tokens_tree: jax.Array,    # i32 [size]
+    r: jax.Array,              # f32 [size] uniform threshold per node
+    successors,                # STATIC np.ndarray [size, max_branch], -1 pad
+    temperature: float,
+    top_p_cut: jax.Array,      # f32 [size] inclusive nucleus cutoff per row
+                               # (keep = softmax >= cut; zeros = no filter)
+    stop_tokens,
+    max_depth: int,
+    strict: bool,
+    mask_rejected_draft: bool,
+) -> WalkResult:
+    """Sequential PATH-FOLLOWING walk — the reference's actual control flow
+    (`Tree/SpecTree.py:203-213` descends the tree, testing only the visited
+    node's children) run fully on-device in one `lax.while_loop`.
+
+    The batch walks (`stochastic_accept_decisions`) precompute a decision
+    for EVERY parent because they don't know which nodes the path visits:
+    ~`size` full-vocab residual row updates per iteration, plus a separately
+    materialized `[size, vocab]` verification distribution. But the path
+    itself only ever *reads* distributions at the ~depth visited nodes and
+    only *updates* them at actually-rejected edges (~depth x E[tested
+    ranks]) — an order of magnitude fewer `[vocab]` row ops. This walk
+    materializes p/q rows lazily on node entry:
+
+      p_row = normalize(where(softmax(tl[node]/T) >= cut[node], ., 0))
+      q_row = softmax(dl[node]/T)
+
+    Row-local softmax is EXACTLY the matrix softmax's row (row-independent
+    op), and the kept-mass normalizer is recomputed from the same row so
+    the distribution is always exactly normalized for whatever cutoff the
+    (kernel or XLA) nucleus pass produced — losslessness never depends on
+    cross-implementation bit agreement. Rejection updates (residual /
+    draft-mask renorm) are identical math to the batch walks. The final
+    node's running residual IS the bonus distribution, so the separate
+    `node_residual` replay disappears too.
+
+    Decisions are bit-identical to `stochastic_accept_decisions` +
+    `resolve_path` given the same inputs (verified in
+    tests/test_path_walk.py); the output distribution proof is unchanged —
+    this is the same walk, evaluated along the path instead of everywhere.
+    """
+    import numpy as np
+
+    successors = np.asarray(successors)
+    size, max_branch = successors.shape
+    succ_d = jnp.asarray(successors, jnp.int32)
+    stop = jnp.asarray(list(stop_tokens), jnp.int32)
+
+    # Division by T (not multiplication by 1/T): bit-identical to
+    # target_probs/draft_probs, so the nucleus boundary-token membership
+    # agrees with the batch walks exactly (a 1-ulp logits difference can
+    # flip the `sm >= cut` comparison at the cutoff token).
+    def p_at(node):
+        row = jax.lax.dynamic_index_in_dim(target_logits, node, keepdims=False)
+        sm = jax.nn.softmax(row.astype(jnp.float32) / temperature)
+        cut = top_p_cut[node]
+        kept = jnp.where(sm >= cut, sm, 0.0)
+        return kept / jnp.sum(kept)
+
+    def q_at(node):
+        row = jax.lax.dynamic_index_in_dim(draft_logits, node, keepdims=False)
+        return jax.nn.softmax(row.astype(jnp.float32) / temperature)
+
+    def cond(carry):
+        return ~carry[-1]
+
+    def body(carry):
+        cur, j, p_row, q_row, path, count, terminal, done = carry
+        child = jnp.where(j < max_branch, succ_d[cur, j], -1)
+        has_child = child >= 0
+        child_c = jnp.maximum(child, 0)
+        token = tokens_tree[child_c]
+        p_tok = p_row[token]
+        q_tok = q_row[token]
+        thresh = r[child_c] * q_tok
+        ok = (p_tok > thresh) if strict else (p_tok >= thresh)
+        can_descend = count < max_depth
+        accept = has_child & ok & can_descend
+        reject = has_child & ~ok
+
+        # --- accept: descend (or stop on a stop token) --------------------
+        is_stop = accept & jnp.isin(token, stop)
+        path = jnp.where(accept, path.at[count].set(child_c), path)
+        count = count + accept.astype(jnp.int32)
+        descend = accept & ~is_stop
+        new_cur = jnp.where(accept, child_c, cur)
+        p_row = jnp.where(descend, p_at(child_c), p_row)
+        q_row = jnp.where(descend, q_at(child_c), q_row)
+
+        # --- reject: residual + draft-mask on the CURRENT node ------------
+        p_res = residual(p_row[None], q_row[None])[0]
+        p_row = jnp.where(reject, p_res, p_row)
+        if mask_rejected_draft:
+            q_new = q_row.at[token].set(0.0) / jnp.maximum(1.0 - q_tok, 1e-30)
+            q_row = jnp.where(reject, q_new, q_row)
+
+        j = jnp.where(accept, 0, j + 1)
+        terminal = terminal | is_stop
+        # done: stop-token accepted, depth budget hit on accept, or no
+        # (further) child at this rank (leaf or all ranks tested/rejected).
+        done = done | is_stop | (accept & ~can_descend) | ~has_child
+        return (new_cur, j, p_row, q_row, path, count, terminal, done)
+
+    node0 = jnp.asarray(0, jnp.int32)
+    init = (
+        node0,
+        jnp.asarray(0, jnp.int32),
+        p_at(node0),
+        q_at(node0),
+        jnp.full((max_depth,), -1, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(False),
+    )
+    cur, _, p_row, _, path, count, terminal, _ = jax.lax.while_loop(
+        cond, body, init)
+    return WalkResult(
+        path=path, accept_count=count, final_node=cur, terminal=terminal,
+        p_final_row=p_row,
+    )
+
+
 def token_match_accept(
     target_token: jax.Array,   # i32 [size]: per-node verification token
     tokens_tree: jax.Array,    # i32 [size]

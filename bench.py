@@ -195,22 +195,24 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
             # so total/reps would carry a ~24/R ms constant bias. Median of
             # 3 samples: tunnel-RTT jitter is several ms, which at small
             # phase times can otherwise difference to ~0 or even negative.
+            # A per-call salt keeps every dispatch's inputs distinct (the
+            # runtime caches same-input executions — see _diff_timed).
             @jax.jit
-            def loop(n, *a):
+            def loop(n, salt, *a):
                 def body(i, acc):
-                    out = f(i, *a)
+                    out = f(i + salt, *a)
                     return acc + jax.tree.leaves(out)[0].reshape(-1)[0].astype(jnp.float32)
-                return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+                return jax.lax.fori_loop(0, n, body, jnp.float32(0) + salt)
             r1 = max(2, R // 4)
             n1, n2 = jnp.asarray(r1, jnp.int32), jnp.asarray(R, jnp.int32)
-            float(loop(n1, *fargs))
+            float(loop(n1, jnp.asarray(0, jnp.int32), *fargs))
             samples = []
-            for _ in range(3):
+            for j in range(3):
                 t0 = time.perf_counter()
-                float(loop(n1, *fargs))
+                float(loop(n1, jnp.asarray(1 + 2 * j, jnp.int32), *fargs))
                 t_short = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                float(loop(n2, *fargs))
+                float(loop(n2, jnp.asarray(2 + 2 * j, jnp.int32), *fargs))
                 t_long = time.perf_counter() - t0
                 samples.append((t_long - t_short) / (R - r1))
             samples.sort()
@@ -224,7 +226,9 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
             # Carrying (and pinning gtl so slots stay in range) matches how
             # the real device loop executes, with in-place KV updates.
             @jax.jit
-            def floop(n, dp, tp, st):
+            def floop(n, salt, dp, tp, st):
+                st = st._replace(tokens=st.tokens + salt)  # per-call input salt
+
                 def body(i, s):
                     s2, _ = vit(dp, tp, s)
                     return s2._replace(gtl=st.gtl, terminal=st.terminal)
@@ -232,14 +236,17 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
 
             r1 = max(2, R // 4)
             n1, n2 = jnp.asarray(r1, jnp.int32), jnp.asarray(R, jnp.int32)
-            float(floop(n1, dp, tp, st).tokens.astype(jnp.float32).sum())
+            z = jnp.asarray(0, jnp.int32)
+            float(floop(n1, z, dp, tp, st).tokens.astype(jnp.float32).sum())
             samples = []
-            for _ in range(3):
+            for j in range(3):
+                s1 = jnp.asarray(1 + 2 * j, jnp.int32)
+                s2_ = jnp.asarray(2 + 2 * j, jnp.int32)
                 t0 = time.perf_counter()
-                float(floop(n1, dp, tp, st).tokens.astype(jnp.float32).sum())
+                float(floop(n1, s1, dp, tp, st).tokens.astype(jnp.float32).sum())
                 ts = time.perf_counter() - t0
                 t0 = time.perf_counter()
-                float(floop(n2, dp, tp, st).tokens.astype(jnp.float32).sum())
+                float(floop(n2, s2_, dp, tp, st).tokens.astype(jnp.float32).sum())
                 tl = time.perf_counter() - t0
                 samples.append((tl - ts) / (R - r1))
             samples.sort()
@@ -303,7 +310,9 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
     # weights as compile constants (rejected by the remote-compile tunnel).
     # Pin n/terminal so slots keep stepping at a fixed decode position.
     @jax.jit
-    def arloop(tp, st):
+    def arloop(tp, st, salt):
+        st = st._replace(tokens=st.tokens + salt)  # per-call input salt
+
         def body(i, carry):
             st0, acc = carry
             st2, tok = vstep(tp, st0)
@@ -316,10 +325,14 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
 
     ar_st = are._stack_states(
         [are._prefill_state(prompt, seed=i)[0] for i in range(B)])
-    float(arloop(target_params, ar_st))
-    t0 = time.perf_counter()
-    float(arloop(target_params, ar_st))
-    ar_iter = (time.perf_counter() - t0) / R
+    float(arloop(target_params, ar_st, jnp.asarray(0, jnp.int32)))
+    samples = []
+    for j in range(3):
+        t0 = time.perf_counter()
+        float(arloop(target_params, ar_st, jnp.asarray(1 + j, jnp.int32)))
+        samples.append((time.perf_counter() - t0) / R)
+    samples.sort()
+    ar_iter = samples[1]
     ar_tok_s = B / ar_iter
 
     mode = choose_serving_mode(bt_iter, float(e_acc), ar_iter)
@@ -388,6 +401,134 @@ def _bench_batched(args, draft_params, draft_cfg, target_params, target_cfg,
         "serve_queued_tokens_per_sec": round(serve_tok_s, 1),
         "serve_device_tokens_per_sec": round(sd_tok_s, 1),
     }
+
+
+
+def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
+                     p, sweep_batches):
+    """Spec-vs-batched-AR crossover curve (round-4 judge item #9): at each
+    batch size, profile the batched target curve, DP-plan a tree, measure
+    the vmapped fused iteration and one batched AR step, and report both
+    throughputs. Batched speculation trades compute for weight bandwidth,
+    so its edge shrinks with B — the table backs `choose_serving_mode`'s
+    policy with a measured decision boundary instead of one point."""
+    import jax
+    import jax.numpy as jnp
+
+    from sequoia_tpu.engine.batched import BatchedAREngine, BatchedSpecEngine
+    from sequoia_tpu.planner.dp import expected_accepted, plan
+    from sequoia_tpu.planner.profile import time_forward_widths
+
+    R = 20
+    rows = []
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(10, target_cfg.vocab_size, size=args.prefix_len)
+    for B in sweep_batches:
+        try:
+            bbudgets = (1, 8, 16, 32, 64)
+            btt = time_forward_widths(
+                target_params, target_cfg, bbudgets,
+                max_length=args.max_length, kv_len=args.prefix_len, reps=12,
+                batch=B, kv_quant=args.batched_kv_quant)
+            bdt = time_forward_widths(
+                draft_params, draft_cfg, (4,), max_length=args.max_length,
+                kv_len=args.prefix_len, reps=20, batch=B)[0]
+            bgm, _ = plan(p, list(bbudgets), btt, bdt,
+                          max_depth=args.max_depth,
+                          max_branch=args.max_branch)
+            beng = BatchedSpecEngine(
+                draft_params, draft_cfg, target_params, target_cfg, bgm,
+                algorithm="sequoia", max_length=args.max_length,
+                temperature=0.6, top_p=0.9, prefill_chunk=128, batch_size=B,
+                kv_quant=args.batched_kv_quant)
+            bstate = beng.prefill_batch([prompt] * B)
+            sax = beng.state_axes
+            vit = jax.vmap(beng._iterate_impl, in_axes=(None, None, sax),
+                           out_axes=(sax, 0))
+
+            @jax.jit
+            def floop(n, salt, dp, tp, st):
+                st = st._replace(tokens=st.tokens + salt)
+
+                def body(i, s):
+                    s2, _ = vit(dp, tp, s)
+                    return s2._replace(gtl=st.gtl, terminal=st.terminal)
+                return jax.lax.fori_loop(0, n, body, st)
+
+            r1 = max(2, R // 4)
+            n1, n2 = jnp.asarray(r1, jnp.int32), jnp.asarray(R, jnp.int32)
+            z = jnp.asarray(0, jnp.int32)
+            float(floop(n1, z, draft_params, target_params, bstate
+                        ).tokens.astype(jnp.float32).sum())
+            samples = []
+            for j in range(3):
+                t0 = time.perf_counter()
+                float(floop(n1, jnp.asarray(1 + 2 * j, jnp.int32),
+                            draft_params, target_params, bstate
+                            ).tokens.astype(jnp.float32).sum())
+                ts = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                float(floop(n2, jnp.asarray(2 + 2 * j, jnp.int32),
+                            draft_params, target_params, bstate
+                            ).tokens.astype(jnp.float32).sum())
+                tl = time.perf_counter() - t0
+                samples.append((tl - ts) / (R - r1))
+            samples.sort()
+            t_iter = samples[1]
+            e_b = float(expected_accepted(bgm, p))
+            spec_tok_s = B * e_b / t_iter
+            del bstate, beng
+
+            are = BatchedAREngine(
+                target_params, target_cfg, batch_size=B,
+                max_length=args.max_length, temperature=0.6, top_p=0.9,
+                prefill_chunk=128, kv_quant=args.batched_kv_quant)
+            vstep = jax.vmap(are._step_impl, in_axes=(None, are.state_axes),
+                             out_axes=(are.state_axes, 0))
+
+            @jax.jit
+            def arloop(tp, st, salt):
+                st = st._replace(tokens=st.tokens + salt)
+
+                def body(i, carry):
+                    st0, acc = carry
+                    st2, tok = vstep(tp, st0)
+                    st2 = st2._replace(n=st0.n, terminal=st0.terminal)
+                    return (st2, acc + tok[0].astype(jnp.float32))
+
+                _, acc = jax.lax.fori_loop(
+                    0, R, body, (st, jnp.asarray(0.0, jnp.float32)))
+                return acc
+
+            ar_st = are._stack_states(
+                [are._prefill_state(prompt, seed=i)[0] for i in range(B)])
+            float(arloop(target_params, ar_st, jnp.asarray(0, jnp.int32)))
+            asamples = []
+            for j in range(3):
+                t0 = time.perf_counter()
+                float(arloop(target_params, ar_st, jnp.asarray(1 + j, jnp.int32)))
+                asamples.append((time.perf_counter() - t0) / R)
+            asamples.sort()
+            ar_tok_s = B / asamples[1]
+            del ar_st, are
+            import gc
+            gc.collect()
+            rows.append({
+                "batch": B,
+                "tree_size": bgm.size,
+                "expected_accepted": round(e_b, 3),
+                "spec_ms_per_iteration": round(t_iter * 1e3, 2),
+                "spec_tokens_per_sec": round(spec_tok_s, 1),
+                "ar_tokens_per_sec": round(ar_tok_s, 1),
+                "winner": "spec" if spec_tok_s > ar_tok_s else "ar",
+            })
+            log(f"crossover B={B}: spec {spec_tok_s:.0f} tok/s "
+                f"(S={bgm.size}, E={e_b:.2f}) vs AR {ar_tok_s:.0f} -> "
+                f"{rows[-1]['winner']}")
+        except Exception as e:
+            log(f"crossover B={B} skipped: {type(e).__name__}: {str(e)[:140]}")
+            rows.append({"batch": B, "error": f"{type(e).__name__}"})
+    return rows
 
 
 def _bench_bf16_parity(args, p):
@@ -690,6 +831,9 @@ def main() -> None:
                          "B=8) and int8 KV is what lets B=16 fit in one "
                          "chip's HBM at all: measured 1431 tok/s at B=8 "
                          "(tie with bf16) and 1910 tok/s at B=16 (bf16 OOMs)")
+    ap.add_argument("--batch-sweep", default="32,64",
+                    help="extra batch sizes for the spec-vs-AR crossover "
+                         "table (comma list; empty disables)")
     ap.add_argument("--batch", type=int, default=16,
                     help="also measure batched serving throughput at this "
                          "batch size (vmapped fused iteration; 0/1 disables)")
@@ -980,6 +1124,32 @@ def main() -> None:
                 prompt, e_acc, per_token, p, draft_time)
         except Exception as e:  # e.g. params + B KV sets exceed HBM (13B/B=4)
             log(f"batched section skipped: {type(e).__name__}: {str(e)[:160]}")
+        if batched is not None and args.batch_sweep:
+            sweep = [int(b) for b in args.batch_sweep.split(",") if b]
+            sweep = [b for b in sweep if b != args.batch]
+            if sweep:
+                base_row = {
+                    "batch": args.batch,
+                    "tree_size": batched["tree_size"],
+                    "expected_accepted": batched["expected_accepted_per_step"],
+                    "spec_ms_per_iteration": batched["ms_per_iteration"],
+                    "spec_tokens_per_sec": batched["tokens_per_sec_chip"],
+                    "ar_tokens_per_sec": batched["batched_ar_tokens_per_sec"],
+                    "winner": batched["serving_mode"],
+                }
+                rows = [base_row] + _crossover_sweep(
+                    args, draft_params, draft_cfg, target_params, target_cfg,
+                    p, sweep)
+                rows.sort(key=lambda r: r.get("batch", 0))
+                ok = [r for r in rows if "winner" in r]
+                cb = next((r["batch"] for r in ok if r["winner"] == "ar"), None)
+                batched["crossover"] = {
+                    "rows": rows,
+                    "crossover_batch": cb,
+                    "note": "first measured batch where batched AR beats "
+                            "batched speculation (E from the bundled "
+                            "vector); None = spec wins at every measured B",
+                }
 
     # ---- 5. realized acceptance: trained correlated pair ------------------
     trained = None

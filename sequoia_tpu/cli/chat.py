@@ -49,6 +49,10 @@ def run_prompts(engine, prompts_tokens, args, tokenizer) -> dict:
     total_tokens = 0
     total_steps = 0
     t_total = 0.0
+    ttfc_total = 0.0        # time-to-first-chunk (prefill + first dispatch)
+    steady_s = 0.0          # wall-clock after the first chunk
+    steady_tokens = 0
+    detok_s = 0.0
     for i, prompt in enumerate(prompts_tokens):
         if len(prompt) + engine.tree_size + 1 > args.M:
             print(f"[prompt {i} too long ({len(prompt)}), skipped]")
@@ -68,22 +72,42 @@ def run_prompts(engine, prompts_tokens, args, tokenizer) -> dict:
         else:
             stream = engine.stream(
                 prompt, max_new_tokens=args.gen, seed=args.seed + i)
+        t_first = None
+        first_tokens = 0
         for new in stream:
+            if t_first is None:
+                t_first = time.perf_counter() - t0
+                first_tokens = len(new)
             if tokenizer is not None:
+                td = time.perf_counter()
                 text = _decode_stream(tokenizer, new, acc)
                 sys.stdout.write(text[shown:])
                 shown = len(text)
+                detok_s += time.perf_counter() - td
             else:
                 sys.stdout.write(" " + " ".join(str(int(t)) for t in new))
             sys.stdout.flush()
-        t_total += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        t_total += dt
         print()
+        if t_first is not None:
+            ttfc_total += t_first
+            steady_s += dt - t_first
+            steady_tokens += engine.num_decoding_steps - first_tokens
+            print(f"[prompt {i}: first chunk {t_first * 1e3:.0f} ms "
+                  f"(prefill {len(prompt)} tok + dispatch), then "
+                  f"{(dt - t_first) * 1e3 / max(engine.num_decoding_steps - first_tokens, 1):.1f}"
+                  f" ms/token steady]")
         total_tokens += engine.num_decoding_steps
         total_steps += engine.num_large_model_steps
     return {
         "total_time_s": t_total,
         "tokens": total_tokens,
         "large_model_steps": total_steps,
+        "ttfc_s": ttfc_total,
+        "steady_s": steady_s,
+        "steady_tokens": steady_tokens,
+        "detok_s": detok_s,
     }
 
 
@@ -225,6 +249,16 @@ def main(argv=None) -> None:
     if stats["large_model_steps"]:
         print(f"accepted tokens per target step: "
               f"{stats['tokens'] / stats['large_model_steps']:.3f}")
+    if stats.get("steady_tokens"):
+        # Gap attribution (CHAT_r03 follow-up): the warm wall-clock splits
+        # into per-prompt time-to-first-chunk (prefill + first device
+        # dispatch) vs the steady streaming rate after it.
+        print(f"time-to-first-chunk total: {stats['ttfc_s']:.3f}s "
+              f"({stats['ttfc_s'] / max(len(prompts_tokens), 1) * 1e3:.0f} "
+              f"ms/prompt)")
+        print(f"steady-state: {stats['steady_s'] / stats['steady_tokens'] * 1e3:.2f} "
+              f"ms/token over {stats['steady_tokens']} tokens "
+              f"(detok {stats['detok_s'] * 1e3:.0f} ms total)")
 
 
 if __name__ == "__main__":

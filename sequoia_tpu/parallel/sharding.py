@@ -22,7 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.config import LlamaConfig
 from ..core.model import LayerParams, LlamaParams
 from ..kvcache.cache import KVCache
-from ..quant.qtensor import QuantizedTensor
+from ..quant.qtensor import QuantizedTensor, is_tiled
 
 
 def make_mesh(tp: int, dp: int = 1, devices=None) -> Mesh:
@@ -53,12 +53,24 @@ def tp_param_specs(params: LlamaParams) -> LlamaParams:
     def col(w, ndim):  # shard the last (output) axis
         spec = P(*([None] * (ndim - 1)), "tp")
         if isinstance(w, QuantizedTensor):
+            if is_tiled(w):
+                # N-panel int4 [..., nt, Kq, bn0]: output features are the
+                # PANEL axis (bn0=128 divides every per-shard width —
+                # quant/qtensor.py::tile_int4); scale keeps [..., 1, N].
+                return QuantizedTensor(
+                    q=P(*([None] * (ndim - 2)), "tp", None, None),
+                    scale=spec)
             return QuantizedTensor(q=spec, scale=spec)
         return spec
 
     def row(w, ndim):  # shard the second-to-last (input) axis
         spec = P(*([None] * (ndim - 2)), "tp", None)
         if isinstance(w, QuantizedTensor):
+            if is_tiled(w):
+                # Input features are plain rows inside each panel (axis -2).
+                return QuantizedTensor(
+                    q=P(*([None] * (ndim - 1)), "tp", None),
+                    scale=P(*([None] * ndim)))
             return QuantizedTensor(q=spec, scale=P(*([None] * ndim)))
         return spec
 

@@ -63,6 +63,45 @@ def quantize_int4(w: jax.Array) -> QuantizedTensor:
     return QuantizedTensor(q=packed, scale=scale)
 
 
+def tile_int4(w: QuantizedTensor, bn0: int = 128) -> QuantizedTensor:
+    """Packed-int4 `[..., Kq, N]` -> N-PANEL layout `[..., nt, Kq, bn0]`.
+
+    Why: the row-major packed weight makes every Pallas K-block DMA read
+    `bkq` separate `bn`-byte rows with an N-byte stride (1 KB bursts at
+    bn=1024); round-3's probe measured a 4.1x kernel-pipeline win from
+    contiguous blocks (scripts/probe_int4_tiled.py). In the panel layout a
+    `[bkq, bn0]` block of panel `n` is ONE contiguous `bkq*bn0`-byte read.
+    Panels (not full 2-D tiling) keep the K axis as plain rows, so
+    row-parallel TP sharding and runtime K-block choice stay free; bn0=128
+    (one MXU lane tile) divides every llama projection width AND its tp=8
+    shards — only the 32000-wide vocab head stays row-major (32000/8
+    shards are not 128-divisible), which is also the matmul where the
+    activation rows, not the weight stream, dominate at tree widths.
+    Scales are unchanged (`[..., 1, N]` carries the logical N)."""
+    q = w.q
+    *lead, Kq, N = q.shape
+    pad = (-N) % bn0
+    if pad:
+        q = jnp.pad(q, [(0, 0)] * len(lead) + [(0, 0), (0, pad)])
+    nt = (N + pad) // bn0
+    q = q.reshape(*lead, Kq, nt, bn0).swapaxes(-3, -2)
+    return QuantizedTensor(q=q, scale=w.scale)
+
+
+def untile_int4(w: QuantizedTensor) -> QuantizedTensor:
+    """Inverse of `tile_int4` (used by the XLA/CPU fallback + dequantize)."""
+    q = w.q
+    *lead, nt, Kq, bn0 = q.shape
+    N = w.scale.shape[-1]
+    q = q.swapaxes(-3, -2).reshape(*lead, Kq, nt * bn0)[..., :N]
+    return QuantizedTensor(q=q, scale=w.scale)
+
+
+def is_tiled(w: QuantizedTensor) -> bool:
+    """Panel-tiled int4 marker: q carries one more axis than the scale."""
+    return w.q.ndim == w.scale.ndim + 1
+
+
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """[..., in/2, out] half-split packed -> [..., in, out] int8 in [-7, 7]."""
     p = packed.astype(jnp.int32)
@@ -179,6 +218,20 @@ def _resolve_impl(bits: int) -> str:
 
 def matmul(x: jax.Array, w: WeightLike, *, preferred_element_type=None) -> jax.Array:
     """x @ w with on-the-fly dequantization for QuantizedTensor weights."""
+    if isinstance(w, QuantizedTensor) and is_tiled(w):
+        # Panel-tiled int4: fused Pallas kernel reads contiguous
+        # [bkq, bn0] blocks (see tile_int4). Non-TPU/odd ranks fall back
+        # through the row-major path.
+        assert w.q.shape[-2] * 2 == x.shape[-1], (w.q.shape, x.shape)
+        if _resolve_impl(4) in ("pallas", "pallas_interpret") and x.ndim == 2:
+            from ..kernels.quant_matmul import quant_matmul_tiled
+
+            return quant_matmul_tiled(
+                x, w.q, w.scale.astype(jnp.float32),
+                interpret=(_resolve_impl(4) == "pallas_interpret"),
+                out_dtype=preferred_element_type,
+            )
+        w = untile_int4(w)
     if isinstance(w, QuantizedTensor):
         bits = 8 if w.q.shape[-2] == x.shape[-1] else 4
         if bits == 4:
@@ -207,5 +260,7 @@ def matmul(x: jax.Array, w: WeightLike, *, preferred_element_type=None) -> jax.A
 
 
 def dequantize(w: QuantizedTensor, in_dim: int, dtype=jnp.float32) -> jax.Array:
+    if is_tiled(w):
+        w = untile_int4(w)
     q = w.q if w.q.shape[-2] == in_dim else _unpack_int4(w.q)
     return (q.astype(jnp.float32) * w.scale).astype(dtype)

@@ -111,3 +111,55 @@ def test_sharded_kv_quant_runs(models):
     )
     out = eng.generate(np.asarray([5, 6, 7, 8]), max_new_tokens=16)
     assert len(out) > 4
+
+
+def test_sharded_tiled_int4_forward_matches(models):
+    """N-panel tiled int4 weights shard over tp (panels = output features,
+    K rows = input features) and the sharded forward must match the
+    unsharded tiled forward. bn0=32 for the tiny test dims; production
+    uses 128 (quant/qtensor.py::tile_int4)."""
+    from sequoia_tpu.core.model import LlamaParams
+    from sequoia_tpu.quant.qtensor import QuantizedTensor, tile_int4
+    from sequoia_tpu.quant.quantize import quantize_model
+
+    _, target = models
+    qp = quantize_model(target, bits=4)
+    lay = qp.layers
+    tiled_layers = type(lay)(**{
+        f: (tile_int4(getattr(lay, f), bn0=16)
+            if isinstance(getattr(lay, f), QuantizedTensor)
+            else getattr(lay, f))
+        for f in lay._fields})
+    qp_t = LlamaParams(embed=qp.embed, layers=tiled_layers,
+                       final_norm=qp.final_norm, lm_head=qp.lm_head)
+
+    tokens = jnp.asarray([3, 7, 11, 19], jnp.int32)
+    pos = jnp.arange(4, dtype=jnp.int32)
+    mask = masks.causal_mask(4, 32, 0)
+    kv = KVCache.init(CFG, 32, jnp.float32)
+    ref_logits, _ = jax.jit(
+        lambda p, k: forward(p, CFG, tokens, pos, k, 0, mask))(qp_t, kv)
+
+    mesh = make_mesh(tp=2)
+    sp = shard_params(qp_t, mesh)
+    # the tiled leaves actually sharded over panels / K rows
+    assert "tp" in str(sp.layers.w_gate.q.sharding.spec)
+    skv = shard_kv(KVCache.init(CFG, 32, jnp.float32), mesh)
+    sh_logits, _ = jax.jit(
+        lambda p, k: forward(p, CFG, tokens, pos, k, 0, mask))(sp, skv)
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(sh_logits), rtol=1e-4, atol=1e-4)
+
+
+def test_tiled_70b_tp8_shard_shapes():
+    """The flagship 70B int4 shapes divide the tp=8 mesh under the panel
+    layout: every projection's panel count (bn0=128) and K rows are
+    8-divisible (the vocab head stays row-major — 32000/8 shards are not
+    128-divisible; quant/qtensor.py::tile_int4)."""
+    cfg = get_config("llama-2-70b")
+    H, Hkv, D, F = (cfg.num_heads, cfg.num_kv_heads, cfg.head_dim_,
+                    cfg.intermediate_size)
+    for n_out in (H * D, Hkv * D, F):        # wq / wk,wv / gate,up panels
+        assert (n_out // 128) % 8 == 0, n_out
+    for k_in in (H * D, F):                  # wo / w_down packed K rows
+        assert (k_in // 2) % 8 == 0, k_in

@@ -29,6 +29,21 @@ from .engine import DecodeState, SpecEngine, _round_up
 from ..utils import prng_key
 
 
+
+def _host(x) -> np.ndarray:
+    """Device array -> host numpy, valid under multi-process dp meshes:
+    dp-sharded values are not fully addressable from one process, so
+    multi-host runs gather the global value first (tiny arrays — per-slot
+    counters / the token buffer)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
 def choose_serving_mode(
     spec_iter_s: float,
     expected_accepted: float,
@@ -138,10 +153,10 @@ class BatchedAREngine(ARBaseline):
         bstate, produced, done, steps = self._bar_until_all(
             self.params, bstate, produced, done, active,
             jnp.asarray(max_new_tokens, jnp.int32))
-        produced = np.asarray(produced)
+        produced = _host(produced)
         self.num_large_model_steps = int(steps)
         self.num_decoding_steps = int(np.minimum(produced, max_new_tokens).sum())
-        tokens = np.asarray(jax.device_get(bstate.tokens))
+        tokens = _host(bstate.tokens)
         return [
             tokens[b, : plens[b] + min(int(produced[b]), max_new_tokens)]
             for b in range(B)
@@ -187,9 +202,9 @@ class BatchedAREngine(ARBaseline):
                 self.params, state, produced, done, jnp.asarray(active_np),
                 max_new)
             self.num_large_model_steps += int(steps)
-            done_np = np.asarray(done)
-            produced_np = np.asarray(produced)
-            tokens_host = np.asarray(jax.device_get(state.tokens))
+            done_np = _host(done)
+            produced_np = _host(produced)
+            tokens_host = _host(state.tokens)
             for s in range(B):
                 rid = slot_req[s]
                 if rid < 0 or not done_np[s]:
@@ -313,8 +328,8 @@ class BatchedSpecEngine(SpecEngine):
         self.num_large_model_steps = 0
         while not all(done):
             state, stats = self._biterate(self.draft_params, self.target_params, state)
-            emitted = np.asarray(stats.emitted)
-            terminal = np.asarray(stats.terminal)
+            emitted = _host(stats.emitted)
+            terminal = _host(stats.terminal)
             self.num_large_model_steps += 1
             for b in range(B):
                 if done[b]:
@@ -329,7 +344,7 @@ class BatchedSpecEngine(SpecEngine):
                     or gtl[b] + self.max_depth + 1 > self.max_length
                 ):
                     done[b] = True
-        tokens = np.asarray(jax.device_get(state.tokens))
+        tokens = _host(state.tokens)
         # Trim overshoot: slots kept iterating after hitting their budget
         # while stragglers finished; only the first max_new_tokens count.
         return [
@@ -423,11 +438,11 @@ class BatchedSpecEngine(SpecEngine):
             self.draft_params, self.target_params, state,
             jnp.asarray(max_new_tokens, jnp.int32),
         )
-        produced = np.asarray(produced)
+        produced = _host(produced)
         self.num_large_model_steps = int(steps)
         self.num_decoding_steps = int(
             np.minimum(produced, max_new_tokens).sum())
-        tokens = np.asarray(jax.device_get(state.tokens))
+        tokens = _host(state.tokens)
         return [
             tokens[b, : plens[b] + min(int(produced[b]), max_new_tokens)]
             for b in range(B)
@@ -476,9 +491,9 @@ class BatchedSpecEngine(SpecEngine):
                 jnp.asarray(active_np), max_new,
             )
             self.num_large_model_steps += int(steps)
-            done_np = np.asarray(done)
-            produced_np = np.asarray(produced)
-            tokens_host = np.asarray(jax.device_get(state.tokens))
+            done_np = _host(done)
+            produced_np = _host(produced)
+            tokens_host = _host(state.tokens)
             for s in range(B):
                 rid = slot_req[s]
                 if rid < 0 or not done_np[s]:
@@ -607,8 +622,8 @@ class BatchedSpecEngine(SpecEngine):
         self.num_large_model_steps = 0
         while any(r >= 0 for r in slot_req):
             state, stats = self._biterate(self.draft_params, self.target_params, state)
-            emitted = np.asarray(stats.emitted)
-            terminal = np.asarray(stats.terminal)
+            emitted = _host(stats.emitted)
+            terminal = _host(stats.terminal)
             self.num_large_model_steps += 1
             tokens_host = None
             for s in range(B):
@@ -627,7 +642,7 @@ class BatchedSpecEngine(SpecEngine):
                 if not finished:
                     continue
                 if tokens_host is None:
-                    tokens_host = np.asarray(jax.device_get(state.tokens))
+                    tokens_host = _host(state.tokens)
                 prod = min(slot_prod[s], max_new_tokens)
                 results[rid] = tokens_host[s, : slot_plen[s] + prod]
                 if queue:  # admit the next request into this slot
@@ -861,7 +876,7 @@ class BatchedSpecEngine(SpecEngine):
             jnp.asarray(slot_req0), mode0,
             jnp.asarray(max_new_tokens, jnp.int32), base_key,
         )
-        out_tokens = np.asarray(jax.device_get(out_tokens))
+        out_tokens = _host(out_tokens)
         out_prod = np.asarray(out_prod)
         self.num_large_model_steps = int(steps)
         self.num_decoding_steps = int(out_prod[:n_q].sum())

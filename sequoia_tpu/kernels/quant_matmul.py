@@ -40,6 +40,18 @@ within-process A/B — see scripts/probe_*_inmodel.py):
   remaining gap is per-byte (DMA pipeline), not the nibble unpack: a
   f32-floor unpack variant (`unpack="float"`) matches the int32-shift one
   within noise at R<=64 and wins 15-30% at R>=128 (auto-selected).
+- N-panel tiled layout (round 4, `quant_matmul_tiled` + qtensor.tile_int4):
+  round-3's VMEM-resident probe suggested contiguous weight blocks buy
+  4.1x; the de-confounded STREAMED measurement says otherwise — full
+  llama-2-7b forward at width 64 (scripts/probe_int4_panels.py, v5e):
+  row-major 14.25 ms (251 GB/s eff), N-panel tiled 15.61 ms (229 GB/s),
+  int8-XLA 9.12 ms (754 GB/s at 2x the bytes). The resident-regime win
+  does NOT transfer: the streamed bottleneck is this kernel's dot/DMA
+  pipelining vs XLA's emitter (the same ~25-40% gap its int8 variant
+  shows, compounded by the unpack), NOT burst contiguity. Tiled stays a
+  tested, TP-shardable option but is not the default; int4's role remains
+  capacity (70B under TP / host-offload streaming, where the host link —
+  not this kernel — bounds throughput).
 """
 
 from __future__ import annotations

@@ -16,6 +16,7 @@ continuous batching across hosts (DCN).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -138,6 +139,27 @@ def shard_batched_state(state, mesh: Mesh):
             return P(None, "dp", None, "tp")
         return P("dp", *([None] * (leaf.ndim - 1)))
 
-    return jax.tree.map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x))), state
-    )
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        sh = NamedSharding(mesh, spec_for(x))
+        if multiproc:
+            # Multi-host dp: `device_put` rejects shardings with
+            # non-addressable devices. Every process computed the full
+            # (replicated) state locally, so each can materialize exactly
+            # its addressable shards from a host copy. Typed PRNG keys
+            # round-trip through their integer key data.
+            if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                impl = jax.random.key_impl(x)
+                data = np.asarray(jax.random.key_data(x))
+                kd_sh = NamedSharding(
+                    mesh, P(*(tuple(spec_for(x)) + (None,))))
+                g = jax.make_array_from_callback(
+                    data.shape, kd_sh, lambda idx, d=data: d[idx])
+                return jax.random.wrap_key_data(g, impl=impl)
+            xh = np.asarray(x)
+            return jax.make_array_from_callback(
+                xh.shape, sh, lambda idx, xh=xh: xh[idx])
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, state)

@@ -973,6 +973,21 @@ def main() -> None:
     log(f"draft_time: {draft_time * 1e3:.2f} ms (calibrated; standalone-loop "
         f"measurement {_standalone_draft * 1e3:.2f} ms is VMEM-resident and "
         f"not representative)")
+    # Curve dump for the acceptance-vector sensitivity sweep
+    # (scripts/sweep_vectors.py, round-4 judge item #2a).
+    try:
+        with open(f"CURVE_{args.target}.json", "w") as _cf:
+            json.dump({
+                "label": f"single-chip {args.target} {args.quant} + "
+                         f"{args.draft} {args.draft_quant}",
+                "budgets": list(budgets),
+                "target_time_s": [float(t) for t in target_time],
+                "t_base_s": float(t_base), "draft_time_s": float(draft_time),
+                "ref_speedup": args.ref_speedup,
+            }, _cf, indent=1)
+    except Exception as e:
+        log(f"curve dump skipped: {e}")
+
     p = default_acceptance_vector()
     gm, info = plan(
         p, budgets, target_time, draft_time, max_depth=args.max_depth,

@@ -51,8 +51,44 @@ def main():
     ap.add_argument("--rank1", default="0.7,0.8,0.85,0.9")
     ap.add_argument("--max-depth", type=int, default=14)
     ap.add_argument("--max-branch", type=int, default=32)
+    ap.add_argument("--measure-with", default=None,
+                    help="'target,draft,max_length,prefix' — additionally "
+                         "MEASURE each vector's planned tree end to end on "
+                         "the chip (random weights: latency real, E from "
+                         "the vector) for the FIRST curve")
     ap.add_argument("--dst", default="SENSITIVITY_r04.json")
     args = ap.parse_args()
+
+    measurer = None
+    if args.measure_with:
+        import importlib
+
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        bench = importlib.import_module("bench")
+        from sequoia_tpu.core.config import get_config
+        from sequoia_tpu.engine.engine import SpecEngine
+        from sequoia_tpu.quant.quantize import random_quantized_model
+
+        tname, dname, mlen, plen = args.measure_with.split(",")
+        mlen, plen = int(mlen), int(plen)
+        tcfg = get_config(tname)
+        dcfg = get_config(dname)
+        tparams = random_quantized_model(tcfg, jax.random.PRNGKey(0), bits=8)
+        dparams = random_quantized_model(dcfg, jax.random.PRNGKey(1), bits=8)
+        rng = np.random.default_rng(17)
+        prompt = rng.integers(10, tcfg.vocab_size, size=plen)
+
+        def measurer(gm):
+            if plen + gm.size + int(gm.depth.max()) + 2 > mlen:
+                return None  # tree doesn't fit the buffer
+            eng = SpecEngine(dparams, dcfg, tparams, tcfg, gm,
+                             algorithm="sequoia", max_length=mlen,
+                             temperature=0.6, top_p=0.9, prefill_chunk=128)
+            state = eng.prefill(prompt)
+            return bench._fused_iter_time(eng, state, reps=20)
 
     from sequoia_tpu.planner.dp import expected_accepted, plan
     from sequoia_tpu.planner.profile import default_acceptance_vector
@@ -88,10 +124,21 @@ def main():
             }
             if ref:
                 row["ratio_vs_ref_speedup"] = round(speedup / ref, 3)
+            if measurer is not None and cj == args.curve_json[0]:
+                t_m = measurer(gm)
+                if t_m is not None:
+                    row["measured_ms_per_iteration"] = round(t_m * 1e3, 2)
+                    m_speed = t_base / (t_m / e)
+                    row["measured_speedup_vs_ar"] = round(m_speed, 3)
+                    if ref:
+                        row["measured_ratio_vs_ref"] = round(m_speed / ref, 3)
             rows.append(row)
             log(f"[{label}] {name}: size={gm.size} depth={int(gm.depth.max())} "
                 f"E={e:.3f} -> {dec * 1e3:.2f} ms/token, {speedup:.2f}x"
-                + (f" (ratio {speedup / ref:.3f})" if ref else ""))
+                + (f" (ratio {speedup / ref:.3f})" if ref else "")
+                + (f"; MEASURED {row['measured_ms_per_iteration']} ms/iter -> "
+                   f"ratio {row.get('measured_ratio_vs_ref')}"
+                   if "measured_ms_per_iteration" in row else ""))
         out["curves"].append({
             "label": label,
             "t_base_s": t_base,

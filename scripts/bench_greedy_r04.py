@@ -200,8 +200,48 @@ def main():
     ap.add_argument("--reps", type=int, default=24)
     ap.add_argument("--skip-13b", action="store_true")
     ap.add_argument("--skip-long", action="store_true")
+    ap.add_argument("--only", default=None, choices=[None, "7b", "13b", "long"],
+                    help="internal: run one section in this process and dump "
+                         "its JSON to --dst (a 13B target cannot share the "
+                         "16 GB chip with a lingering 7B engine — each "
+                         "section gets a fresh process)")
     ap.add_argument("--dst", default="BENCH_GREEDY_r04.json")
     args = ap.parse_args()
+
+    if args.only is None:
+        # Orchestrate: one subprocess per section so HBM is fully released
+        # between pairs (in-process `del` leaves engine/jit references alive;
+        # measured: the 13B init RESOURCE_EXHAUSTEDs after the 7B section).
+        import subprocess
+        import tempfile
+
+        out = {"greedy": [], "long_prefill": None}
+        sections = [("7b", "greedy")]
+        if not args.skip_13b:
+            sections.append(("13b", "greedy"))
+        if not args.skip_long:
+            sections.append(("long", "long_prefill"))
+        for only, kind in sections:
+            with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+                part = f.name
+            cmd = [sys.executable, _os.path.abspath(__file__),
+                   "--only", only, "--dst", part,
+                   "--max-length", str(args.max_length),
+                   "--prefix-len", str(args.prefix_len),
+                   "--reps", str(args.reps)]
+            log(f"--- section {only} ---")
+            subprocess.run(cmd, check=True)
+            with open(part) as f:
+                block = json.load(f)
+            if kind == "greedy":
+                out["greedy"].append(block)
+            else:
+                out["long_prefill"] = block
+            _os.unlink(part)
+        with open(args.dst, "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps(out))
+        return
 
     import jax
 
@@ -211,15 +251,14 @@ def main():
     bench = importlib.import_module("bench")
     log(f"devices: {jax.devices()}")
 
-    out = {"greedy": [], "long_prefill": None}
-    out["greedy"].append(bench_pair(args, "llama-2-7b", "llama-68m", bench))
-    if not args.skip_13b:
-        out["greedy"].append(bench_pair(args, "llama-2-13b", "llama-68m", bench))
-    if not args.skip_long:
-        out["long_prefill"] = bench_long_prefill(args, bench)
+    if args.only == "7b":
+        block = bench_pair(args, "llama-2-7b", "llama-68m", bench)
+    elif args.only == "13b":
+        block = bench_pair(args, "llama-2-13b", "llama-68m", bench)
+    else:
+        block = bench_long_prefill(args, bench)
     with open(args.dst, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out))
+        json.dump(block, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,7 @@ from ..trees.accept import (
     resolve_path,
     stochastic_accept_decisions,
     stochastic_path_walk,
+    stochastic_path_walk_node,
     token_match_accept,
 )
 from ..trees.growmap import GrowMap
@@ -105,7 +106,7 @@ class SpecEngine:
         walk: str = "path",
     ) -> None:
         assert algorithm in ALGORITHMS, algorithm
-        assert walk in ("path", "staged"), walk
+        assert walk in ("path", "node", "staged"), walk
         # Stochastic accept-walk implementation: "path" = sequential
         # path-following walk (one lax.while_loop, lazily materialized
         # per-node rows — ~depth [vocab]-row ops per iteration,
@@ -396,15 +397,21 @@ class SpecEngine:
         # --- Accept walk (device-side) ----------------------------------
         key, k_r, k_bonus, k_tok = jax.random.split(key, 4)
         walk_res = None
-        if self.algorithm in ("sequoia", "specinfer") and self.walk == "path":
+        if self.algorithm in ("sequoia", "specinfer") and self.walk in (
+                "path", "node"):
             # Path-following walk (default): tests only the visited nodes'
             # edges, materializes p/q rows lazily, and its final residual
             # row IS the bonus distribution — ~depth [vocab]-row ops
             # instead of ~size (trees/accept.py::stochastic_path_walk).
+            # "node" resolves one whole node per while-loop trip (rank scan
+            # unrolled in the body): ~accepted-depth trips instead of
+            # ~tested-edge trips, same math (stochastic_path_walk_node).
             r = jax.random.uniform(k_r, (gm_size,), jnp.float32)
             is_sequoia = self.algorithm == "sequoia"
             cut = nucleus_cutoff(target_logits, self.top_p, self.temperature)
-            walk_res = stochastic_path_walk(
+            walk_fn = (stochastic_path_walk_node if self.walk == "node"
+                       else stochastic_path_walk)
+            walk_res = walk_fn(
                 target_logits, draft_logits, tokens_tree, r, self._succ_np,
                 self.temperature, cut, self.stop_tokens,
                 max(self.max_depth, 1), strict=is_sequoia,

@@ -22,6 +22,7 @@ from sequoia_tpu.trees.accept import (
     resolve_path,
     stochastic_accept_decisions,
     stochastic_path_walk,
+    stochastic_path_walk_node,
 )
 from sequoia_tpu.trees.growmap import uniform_tree
 
@@ -76,22 +77,23 @@ def test_matches_staged_pipeline(strict, mask, top_p):
         path, res = _staged(p, dl, tokens, r, succ, temp, stop, max_depth,
                             strict, mask)
         cut = nucleus_cutoff(tl, top_p, temp)
-        walk = stochastic_path_walk(
-            tl, dl, tokens, r, succ, temp, cut, stop, max_depth,
-            strict=strict, mask_rejected_draft=mask)
+        for walk_fn in (stochastic_path_walk, stochastic_path_walk_node):
+            walk = walk_fn(
+                tl, dl, tokens, r, succ, temp, cut, stop, max_depth,
+                strict=strict, mask_rejected_draft=mask)
 
-        assert int(walk.accept_count) == int(path.accept_count), trial
-        assert int(walk.final_node) == int(path.final_node), trial
-        assert bool(walk.terminal) == bool(path.terminal), trial
-        np.testing.assert_array_equal(np.asarray(walk.path),
-                                      np.asarray(path.path))
-        got = np.asarray(walk.p_final_row)
-        want = np.asarray(res)
-        if np.isnan(want).any():
-            assert np.isnan(got).any()
-        elif not bool(path.terminal):
-            # Bonus distribution only consumed when non-terminal.
-            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+            assert int(walk.accept_count) == int(path.accept_count), trial
+            assert int(walk.final_node) == int(path.final_node), trial
+            assert bool(walk.terminal) == bool(path.terminal), trial
+            np.testing.assert_array_equal(np.asarray(walk.path),
+                                          np.asarray(path.path))
+            got = np.asarray(walk.p_final_row)
+            want = np.asarray(res)
+            if np.isnan(want).any():
+                assert np.isnan(got).any()
+            elif not bool(path.terminal):
+                # Bonus distribution only consumed when non-terminal.
+                np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
 def test_stop_token_terminates_walk():
@@ -118,9 +120,9 @@ def test_stop_token_terminates_walk():
 
 @pytest.mark.parametrize("algo", ["sequoia", "specinfer"])
 def test_engine_path_vs_staged_same_tokens(algo):
-    """Full engine: walk='path' and walk='staged' must emit identical token
-    sequences for the same seed (same PRNG splits, same decisions, same
-    bonus distribution)."""
+    """Full engine: walk='path', walk='node', and walk='staged' must emit
+    identical token sequences for the same seed (same PRNG splits, same
+    decisions, same bonus distribution)."""
     cfg = get_config("test-tiny")
     draft = random_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
     target = random_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
@@ -130,6 +132,9 @@ def test_engine_path_vs_staged_same_tokens(algo):
               prefill_chunk=16)
     out_p = SpecEngine(draft, cfg, target, cfg, gm, walk="path", **kw
                        ).generate(prompt, max_new_tokens=30, seed=0)
+    out_n = SpecEngine(draft, cfg, target, cfg, gm, walk="node", **kw
+                       ).generate(prompt, max_new_tokens=30, seed=0)
     out_s = SpecEngine(draft, cfg, target, cfg, gm, walk="staged", **kw
                        ).generate(prompt, max_new_tokens=30, seed=0)
     np.testing.assert_array_equal(out_p, out_s)
+    np.testing.assert_array_equal(out_n, out_s)

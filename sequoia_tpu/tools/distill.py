@@ -62,12 +62,20 @@ def train_lm(
     *,
     steps: int = 300,
     batch_size: int = 8,
-    lr: float = 3e-3,
+    lr=3e-3,           # float or optax schedule (long distillations want decay)
     seed: int = 0,
     teacher: Optional[Tuple[LlamaParams, LlamaConfig]] = None,
     init: Optional[LlamaParams] = None,
+    distill_temperature: float = 1.0,
+    mix_ce: float = 0.0,  # weight of the hard-label CE added to the KL
 ) -> LlamaParams:
-    """Adam-train a model on `data` (CE), or distill from `teacher`."""
+    """Adam-train a model on `data` (CE), or distill from `teacher`.
+
+    `distill_temperature` < 1 sharpens the teacher before matching —
+    weighting the mode agreement that T<1 sampling-time acceptance
+    (sum_t min(p_t, q_t) at the decode temperature) actually tests.
+    `mix_ce` adds hard-label CE on the corpus: with a memorizable corpus
+    both models converge to the same conditionals on-text."""
     import optax
 
     data = np.asarray(data, np.int32)
@@ -83,7 +91,11 @@ def train_lm(
         t_fn = jax.jit(partial(_batch_logits, t_params, t_cfg))
 
         def loss_fn(p, batch, tlogits):
-            return distill_loss(p, cfg, tlogits, batch)
+            loss = distill_loss(p, cfg, tlogits, batch,
+                                temperature=distill_temperature)
+            if mix_ce:
+                loss = loss + mix_ce * lm_loss(p, cfg, batch)
+            return loss
     else:
         def loss_fn(p, batch, tlogits):
             return lm_loss(p, cfg, batch)

@@ -40,43 +40,60 @@ def measure_raw_link_gbs(log):
 
     import jax
     import jax.numpy as jnp
+    import ml_dtypes
+    import numpy as np
     from jax.memory import Space
 
-    C = 128 * 2 ** 20 // 2          # 128 MB bf16 chunks (layer-sized)
-    L = 24
-    host = jax.device_put(
-        jnp.arange(L, dtype=jnp.bfloat16)[:, None]
-        + jnp.ones((L, C), jnp.bfloat16), Space.Host)
-    jax.block_until_ready(host)
+    C1, C2 = 8192, 8192             # 128 MB bf16 chunks (layer-sized)
+    L_S, L_L = 6, 24
+    # Build in HOST numpy: a jnp expression would materialize the 1.5 GB
+    # buffer on the chip first (measured RESOURCE_EXHAUSTED next to the
+    # resident layers + draft), and device_put(np, Space.Host) never
+    # touches HBM. The buffer must be 3-D (Mosaic cannot row-slice sub-3D
+    # host-space arrays — the round-3 offload placement rule; a 2-D probe
+    # dies with a TPU INTERNAL error), and each scan length needs its OWN
+    # unsliced buffer: `h[:n]` on a host-space operand materializes a
+    # host-side copy at ~0.5 GB/s that swamps the stream being measured
+    # (the identity slice h[:L] is elided, which made LONGER scans run
+    # faster than shorter ones).
+    def mk_host(n):
+        arr = np.empty((n, C1, C2), ml_dtypes.bfloat16)
+        for i in range(n):
+            arr[i] = np.float32(1.0 + i)
+        out = jax.device_put(arr, Space.Host)
+        jax.block_until_ready(out)
+        return out
 
-    def mk(n):
-        @jax.jit
-        def stream(h, salt):
-            def body(acc, row):
-                dev = jax.device_put(row, Space.Device)
-                return acc + dev[0].astype(jnp.float32), None
+    host_s, host_l = mk_host(L_S), mk_host(L_L)
 
-            acc, _ = jax.lax.scan(body, salt.astype(jnp.float32), h[:n])
-            return acc
-        return stream
+    @jax.jit
+    def stream(h, salt):
+        def body(acc, row):
+            dev = jax.device_put(row, Space.Device)
+            # Consume EVERY byte: reducing a single element lets XLA
+            # shrink the host->HBM copy to that element (measured: the
+            # differenced estimate collapses to noise).
+            return acc + jnp.sum(dev.astype(jnp.float32)), None
 
-    s_short, s_long = mk(L // 4), mk(L)
-    float(s_short(host, jnp.asarray(1, jnp.int32)))
-    float(s_long(host, jnp.asarray(2, jnp.int32)))
+        acc, _ = jax.lax.scan(body, salt.astype(jnp.float32), h)
+        return acc
+
+    float(stream(host_s, jnp.asarray(1, jnp.int32)))
+    float(stream(host_l, jnp.asarray(2, jnp.int32)))
     samples = []
     for j in range(3):
         t0 = time.perf_counter()
-        float(s_short(host, jnp.asarray(10 + j, jnp.int32)))
+        float(stream(host_s, jnp.asarray(10 + j, jnp.int32)))
         t_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        float(s_long(host, jnp.asarray(20 + j, jnp.int32)))
+        float(stream(host_l, jnp.asarray(20 + j, jnp.int32)))
         t_l = time.perf_counter() - t0
-        samples.append((t_l - t_s) / (L - L // 4))
+        samples.append((t_l - t_s) / (L_L - L_S))
     samples.sort()
     per_chunk = samples[1]
-    gbs = (C * 2 / 1e9) / per_chunk
+    gbs = (C1 * C2 * 2 / 1e9) / per_chunk
     log(f"raw host->HBM link: {gbs:.1f} GB/s "
-        f"({C * 2 // 2 ** 20} MB chunks in-scan device_put)")
+        f"({C1 * C2 * 2 // 2 ** 20} MB chunks in-scan device_put)")
     return gbs
 
 
@@ -116,6 +133,13 @@ def main():
                          "tests/run_sequoia.py:325); 0 = off")
     ap.add_argument("--dst", default="BENCH70B_r03.json")
     ap.add_argument("--save-growmap", default="growmaps")
+    ap.add_argument("--link-probe-only", action="store_true",
+                    help="measure the raw host->HBM link roofline and exit "
+                         "(no model; the probe needs the chip to itself)")
+    ap.add_argument("--raw-link-gbs", type=float, default=0.0,
+                    help="inject a previously measured roofline instead of "
+                         "probing inside this run (the probe's 1.5 GB "
+                         "buffer is risky next to a resident 70B slice)")
     args = ap.parse_args()
 
     import jax
@@ -137,6 +161,11 @@ def main():
     from sequoia_tpu.quant.quantize import random_quantized_model
 
     log(f"devices: {jax.devices()}")
+    if args.link_probe_only:
+        gbs = measure_raw_link_gbs(log)
+        print(json.dumps({"raw_link_gb_s": round(gbs, 1)}))
+        return
+
     tcfg = get_config(args.target)
     dcfg = get_config(args.draft)
     if args.vocab:
@@ -194,9 +223,19 @@ def main():
     log(f"offloaded AR baseline: {t_base * 1e3:.0f} ms/token "
         f"(stream {host / 1e9:.1f} GB/token -> "
         f"{host / 1e9 / t_base:.1f} GB/s effective)")
-    raw_link_gbs = measure_raw_link_gbs(log)
-    eff_vs_link = (host / 1e9 / t_base) / raw_link_gbs
-    log(f"stream efficiency vs raw link: {eff_vs_link * 100:.0f}%")
+    if args.raw_link_gbs > 0:
+        raw_link_gbs = args.raw_link_gbs
+        log(f"raw link (injected): {raw_link_gbs:.1f} GB/s")
+    else:
+        try:
+            raw_link_gbs = measure_raw_link_gbs(log)
+        except Exception as e:  # keep the flagship numbers if the probe dies
+            log(f"raw link probe failed: {type(e).__name__}: {str(e)[:120]}")
+            raw_link_gbs = 0.0
+    eff_vs_link = ((host / 1e9 / t_base) / raw_link_gbs
+                   if raw_link_gbs else None)
+    if eff_vs_link:
+        log(f"stream efficiency vs raw link: {eff_vs_link * 100:.0f}%")
 
     # ---- profile -> plan --------------------------------------------------
     budgets = [int(b) for b in args.budgets.split(",")
@@ -278,8 +317,9 @@ def main():
             "speedup_vs_own_offloaded_ar": round(speedup, 3),
             "ref_offload_speedup_l40": args.ref_speedup,
             "ref_offload_s_per_token_l40": 0.56,
-            "raw_link_gb_s": round(raw_link_gbs, 1),
-            "stream_efficiency_vs_link": round(eff_vs_link, 3),
+            "raw_link_gb_s": round(raw_link_gbs, 1) if raw_link_gbs else None,
+            "stream_efficiency_vs_link": (
+                round(eff_vs_link, 3) if eff_vs_link else None),
         },
     }
     with open(args.dst, "w") as f:

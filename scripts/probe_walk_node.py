@@ -9,6 +9,14 @@ node walk (trees/accept.py::stochastic_path_walk_node) resolves a whole
 node per trip (~accepted-depth trips) with the rank scan unrolled and
 predicated in the body. This probe measures both engines on the SAME
 growmap / weights / state with the salted differenced estimator.
+
+MEASURED (v5e, 13B int8, S=80 d=7 mb=11 tree, median of 5): path
+20.180 ms/iteration vs node 20.175 — a wash. Halving the while-loop
+trip count does not move the iteration: the walk's cost is the LATENCY
+of its sequential [vocab]-row op chain (gather -> softmax -> compare ->
+residual), which is identical under either loop partitioning, not the
+loop-carry overhead. The per-edge walk stays the default; the node walk
+remains available (walk='node') as the tested alternative.
 """
 
 import argparse

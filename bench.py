@@ -423,13 +423,17 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
     rows = []
     rng = np.random.default_rng(17)
     prompt = rng.integers(10, target_cfg.vocab_size, size=args.prefix_len)
-    for B in sweep_batches:
-        try:
-            bbudgets = (1, 8, 16, 32, 64)
+    def one_row(B, kvq):
+            # Cap the profiled verify widths at big batch: the W=64 x B=64
+            # profile forward OOMs a CLEAN 16 GB chip (standalone probe),
+            # while the DP at B>=32 picks size<=8 trees anyway (measured:
+            # B=32 chose S=8) — wide-tree probes at large B are pure peak
+            # memory with no planning value.
+            bbudgets = (1, 8, 16, 32, 64) if B <= 16 else (1, 4, 8, 16)
             btt = time_forward_widths(
                 target_params, target_cfg, bbudgets,
                 max_length=args.max_length, kv_len=args.prefix_len, reps=12,
-                batch=B, kv_quant=args.batched_kv_quant)
+                batch=B, kv_quant=kvq)
             bdt = time_forward_widths(
                 draft_params, draft_cfg, (4,), max_length=args.max_length,
                 kv_len=args.prefix_len, reps=20, batch=B)[0]
@@ -440,7 +444,7 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
                 draft_params, draft_cfg, target_params, target_cfg, bgm,
                 algorithm="sequoia", max_length=args.max_length,
                 temperature=0.6, top_p=0.9, prefill_chunk=128, batch_size=B,
-                kv_quant=args.batched_kv_quant)
+                kv_quant=kvq)
             bstate = beng.prefill_batch([prompt] * B)
             sax = beng.state_axes
             vit = jax.vmap(beng._iterate_impl, in_axes=(None, None, sax),
@@ -482,7 +486,7 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
             are = BatchedAREngine(
                 target_params, target_cfg, batch_size=B,
                 max_length=args.max_length, temperature=0.6, top_p=0.9,
-                prefill_chunk=128, kv_quant=args.batched_kv_quant)
+                prefill_chunk=128, kv_quant=kvq)
             vstep = jax.vmap(are._step_impl, in_axes=(None, are.state_axes),
                              out_axes=(are.state_axes, 0))
 
@@ -513,21 +517,73 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
             del ar_st, are
             import gc
             gc.collect()
-            rows.append({
+            # Drop compiled-program references (floop/arloop and the
+            # engines they close over) so the NEXT batch size starts from
+            # a clean HBM pool — measured: without this, B=64 and the
+            # trained-pair section after the sweep RESOURCE_EXHAUSTED on
+            # buffers the dead loops still pinned.
+            jax.clear_caches()
+            gc.collect()
+            row = {
                 "batch": B,
+                "kv_quant": kvq,
                 "tree_size": bgm.size,
                 "expected_accepted": round(e_b, 3),
                 "spec_ms_per_iteration": round(t_iter * 1e3, 2),
                 "spec_tokens_per_sec": round(spec_tok_s, 1),
                 "ar_tokens_per_sec": round(ar_tok_s, 1),
                 "winner": "spec" if spec_tok_s > ar_tok_s else "ar",
-            })
-            log(f"crossover B={B}: spec {spec_tok_s:.0f} tok/s "
+            }
+            log(f"crossover B={B} kv={kvq}: spec {spec_tok_s:.0f} tok/s "
                 f"(S={bgm.size}, E={e_b:.2f}) vs AR {ar_tok_s:.0f} -> "
-                f"{rows[-1]['winner']}")
-        except Exception as e:
-            log(f"crossover B={B} skipped: {type(e).__name__}: {str(e)[:140]}")
-            rows.append({"batch": B, "error": f"{type(e).__name__}"})
+                f"{row['winner']}")
+            return row
+
+    param_gb = sum(a.size * a.dtype.itemsize
+                   for a in jax.tree.leaves(target_params)
+                   if hasattr(a, "dtype")) / 1e9
+
+    def kv_fits(B, kvq):
+        """Conservative fit estimate: a failed attempt can leave the
+        backend refusing allocations for the rest of the process
+        (measured: after a B=64 int8 OOM, the int4 retry ALSO died even
+        though int4-first succeeds standalone) — so order the ladder by
+        predicted fit instead of discovering by OOM."""
+        bpe = {"int8": 1.0, "int4": 0.5}.get(kvq, 2.0)
+        hd = target_cfg.head_dim or (
+            target_cfg.hidden_size // target_cfg.num_heads)
+        kv_gb = (target_cfg.num_layers * args.max_length
+                 * target_cfg.num_kv_heads * hd * 2 * bpe) * B / 1e9
+        # 4.5 GB margin calibrated against measurement: 7B int8 B=32/int8
+        # KV fits (9.0 GB resident), B=64/int8 (11.2) does not, B=64/int4
+        # (9.0) does — the profile/iteration transients are ~4-4.5 GB.
+        return param_gb + kv_gb + 4.5 < 15.5
+
+    for B in sweep_batches:
+        row = None
+        # Fallback ladder: the configured KV precision, then int4 — at
+        # B=64 the int8 KV (~4.3 GB at M=256) measured RESOURCE_EXHAUSTED
+        # next to the 7B weights; the compressed-KV row is a measurement,
+        # not an error (serving above that batch needs KV compression).
+        ladder = list(dict.fromkeys((args.batched_kv_quant, "int4")))
+        ladder.sort(key=lambda q: not kv_fits(B, q))  # predicted-fit first
+        for kvq in ladder:
+            try:
+                row = one_row(B, kvq)
+                if kvq != args.batched_kv_quant:
+                    row["note"] = (f"{args.batched_kv_quant} KV predicted/"
+                                   f"measured not to fit at this batch; "
+                                   f"int4 fallback")
+                break
+            except Exception as e:
+                log(f"crossover B={B} kv={kvq} failed: {type(e).__name__}: "
+                    f"{str(e)[:140]}")
+                import gc
+
+                jax.clear_caches()
+                gc.collect()
+        rows.append(row if row is not None
+                    else {"batch": B, "error": "no KV precision fit"})
     return rows
 
 
@@ -1127,7 +1183,20 @@ def main() -> None:
         f"ratio ceiling at this vector+curve: stream-only {ceiling_ratio:.3f}"
         f", curve-aware {curve_ceiling:.3f}")
 
-    # ---- 4. batched serving throughput (tokens/sec/chip north star) ------
+    # ---- 4. realized acceptance: trained correlated pair ------------------
+    # Runs BEFORE the batched/crossover sections: a failed big-batch
+    # attempt can leave the backend allocator refusing even small
+    # allocations for the rest of the process (measured: the trained pair
+    # RESOURCE_EXHAUSTED after a B=64 crossover OOM, clear_caches
+    # notwithstanding), and this section only needs tiny models.
+    trained = None
+    if args.trained_pair_steps > 0:
+        try:
+            trained = _bench_trained_pair(args)
+        except Exception as e:
+            log(f"trained-pair section skipped: {type(e).__name__}: {str(e)[:160]}")
+
+    # ---- 5. batched serving throughput (tokens/sec/chip north star) ------
     # Capability the reference lacks entirely (its README lists batching as
     # an open TODO): B independent requests each run the full fused
     # iteration under vmap; weight streaming amortizes across the batch.
@@ -1165,14 +1234,6 @@ def main() -> None:
                             "batched speculation (E from the bundled "
                             "vector); None = spec wins at every measured B",
                 }
-
-    # ---- 5. realized acceptance: trained correlated pair ------------------
-    trained = None
-    if args.trained_pair_steps > 0:
-        try:
-            trained = _bench_trained_pair(args)
-        except Exception as e:
-            log(f"trained-pair section skipped: {type(e).__name__}: {str(e)[:160]}")
 
     print(json.dumps({
         "metric": f"sequoia_tokens_per_sec_{args.target}-{args.quant}_{args.draft}-{args.draft_quant}",

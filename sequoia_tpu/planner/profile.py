@@ -94,14 +94,19 @@ def time_forward_widths(
                             out_axes=(0, kv_ax))
 
     def reps_loop(params, tokens, pos, kv, mask, scr_mask, n):
-        def body(i, carry):
-            kv, acc = carry
+        # kv is NOT a loop carry: the split-mode forward reads the main
+        # cache and writes only the scratch, and XLA double-buffers loop
+        # carries — carrying a B=64 int8 cache (4.3 GB) through the loop
+        # allocated 2x inside the program and RESOURCE_EXHAUSTED next to
+        # the 7B weights. As a closed-over read-only input it is single-
+        # buffered.
+        def body(i, acc):
             # Data-depend on i so XLA cannot hoist the loop-invariant body.
-            logits, kv = one_step(params, tokens + (i % 2), pos, kv, mask,
-                                  scr_mask)
-            return (kv, acc + logits.reshape(-1)[0])
+            logits, _ = one_step(params, tokens + (i % 2), pos, kv, mask,
+                                 scr_mask)
+            return acc + logits.reshape(-1)[0]
 
-        kv, acc = jax.lax.fori_loop(0, n, body, (kv, jnp.asarray(0.0, jnp.float32)))
+        acc = jax.lax.fori_loop(0, n, body, jnp.asarray(0.0, jnp.float32))
         # kv is returned so the donated input buffer has an output to alias
         # with — otherwise XLA drops the donation ("donated buffers were not
         # usable" warnings) and the timed loop pays a cache copy.
@@ -117,6 +122,14 @@ def time_forward_widths(
         return cache_cls.init(cfg, max_length, dtype)
 
     out = []
+    # ONE cache threaded through every warmup/sample call via donation:
+    # a fresh_kv() per call keeps the previous call's donated OUTPUT alive
+    # while the new buffer initializes — a transient 2x-KV peak that
+    # RESOURCE_EXHAUSTEDs B=64 int8 at 7B (2 x 4.3 GB next to 6.9 GB of
+    # weights) even though the steady state fits. Latency is KV-content-
+    # independent, and carrying state varies the inputs per call (defeats
+    # same-input execution caching more robustly than token salts alone).
+    kv_state = fresh_kv()
     for w in widths:
         tokens = jnp.zeros((w,), jnp.int32)
         pos = kv_len + jnp.arange(w, dtype=jnp.int32)
@@ -136,8 +149,9 @@ def time_forward_widths(
         n1 = jnp.asarray(r1, jnp.int32)
         n2 = jnp.asarray(reps, jnp.int32)
         for i in range(warmup):
-            float(timed(params, tokens + (2 + i), pos, fresh_kv(), mask,
-                        scr_mask, n1)[0])
+            acc, kv_state = timed(params, tokens + (2 + i), pos, kv_state,
+                                  mask, scr_mask, n1)
+            float(acc)
         # Median of 3 differenced samples: a single (short, long) pair can
         # swing +-1 ms with tunnel load in EITHER direction (a slow short
         # run UNDERestimates), which fed the planner width-curve outliers
@@ -149,15 +163,15 @@ def time_forward_widths(
         # with a warmup dispatch under same-input execution caching.
         base = 2 + warmup
         for j in range(3):
-            kv = fresh_kv()
-            jax.block_until_ready(kv.k)
             t0 = time.perf_counter()
-            float(timed(params, tokens + base + 2 * j, pos, kv, mask, scr_mask, n1)[0])
+            acc, kv_state = timed(params, tokens + base + 2 * j, pos,
+                                  kv_state, mask, scr_mask, n1)
+            float(acc)  # acc depends on the final state: hard sync
             t_short = time.perf_counter() - t0
-            kv = fresh_kv()
-            jax.block_until_ready(kv.k)
             t0 = time.perf_counter()
-            float(timed(params, tokens + base + 2 * j + 1, pos, kv, mask, scr_mask, n2)[0])
+            acc, kv_state = timed(params, tokens + base + 2 * j + 1, pos,
+                                  kv_state, mask, scr_mask, n2)
+            float(acc)
             t_long = time.perf_counter() - t0
             samples.append((t_long - t_short) / (reps - r1))
         samples.sort()

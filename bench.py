@@ -543,6 +543,16 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
                    for a in jax.tree.leaves(target_params)
                    if hasattr(a, "dtype")) / 1e9
 
+    # HBM budget from the device when it reports one (advisor r4: on a
+    # larger-HBM chip a hardcoded 16 GB would sort int4 first and never
+    # try the configured precision); the axon tunnel's memory_stats() is
+    # empty/zero, so 15.5 GB (v5e) stays the fallback.
+    try:
+        _bl = jax.local_devices()[0].memory_stats().get("bytes_limit", 0)
+    except Exception:
+        _bl = 0
+    hbm_budget_gb = (_bl / 1e9) * 0.97 if _bl else 15.5
+
     def kv_fits(B, kvq):
         """Conservative fit estimate: a failed attempt can leave the
         backend refusing allocations for the rest of the process
@@ -557,7 +567,7 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
         # 4.5 GB margin calibrated against measurement: 7B int8 B=32/int8
         # KV fits (9.0 GB resident), B=64/int8 (11.2) does not, B=64/int4
         # (9.0) does — the profile/iteration transients are ~4-4.5 GB.
-        return param_gb + kv_gb + 4.5 < 15.5
+        return param_gb + kv_gb + 4.5 < hbm_budget_gb
 
     for B in sweep_batches:
         row = None
@@ -567,13 +577,19 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
         # not an error (serving above that batch needs KV compression).
         ladder = list(dict.fromkeys((args.batched_kv_quant, "int4")))
         ladder.sort(key=lambda q: not kv_fits(B, q))  # predicted-fit first
+        attempted = set()
         for kvq in ladder:
+            attempted.add(kvq)
             try:
                 row = one_row(B, kvq)
                 if kvq != args.batched_kv_quant:
-                    row["note"] = (f"{args.batched_kv_quant} KV predicted/"
-                                   f"measured not to fit at this batch; "
-                                   f"int4 fallback")
+                    # Say which it was (advisor r4): "measured" only if the
+                    # configured precision actually ran and failed; a
+                    # fit-estimate skip is "predicted".
+                    how = ("measured" if args.batched_kv_quant in attempted
+                           else "predicted")
+                    row["note"] = (f"{args.batched_kv_quant} KV {how} not "
+                                   f"to fit at this batch; int4 fallback")
                 break
             except Exception as e:
                 log(f"crossover B={B} kv={kvq} failed: {type(e).__name__}: "

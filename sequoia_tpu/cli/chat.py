@@ -253,10 +253,14 @@ def main(argv=None) -> None:
         # One synthetic chunk through the same entry points the prompt loop
         # uses (prefill + chunked device loop / per-iteration stream): loads
         # or compiles every program once, outside the measured loop.
+        # Always >=1 token even for tiny --M (advisor r4: M<4 made an empty
+        # prefill); baseline mode has only prefill+decode to warm, so one
+        # token suffices there.
         t0 = time.perf_counter()
-        warm_prompt = np.arange(7, 7 + min(args.M // 4, 64), dtype=np.int32) \
+        warm_prompt = np.arange(
+            7, 7 + max(1, min(args.M // 4, 64)), dtype=np.int32) \
             % target_cfg.vocab_size
-        chunk = args.stream_chunk
+        chunk = 1 if args.mode == "baseline" else args.stream_chunk
         if chunk > 1 and hasattr(engine, "stream_fast"):
             warm = engine.stream_fast(warm_prompt, max_new_tokens=chunk,
                                       chunk_tokens=chunk, seed=args.seed)

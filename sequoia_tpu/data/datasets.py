@@ -135,12 +135,17 @@ MT_BENCH_URL = (
 
 
 def ensure_mt_bench(data_root: str) -> str:
-    """Return the local MT-Bench path, downloading it if absent and the
-    network allows (`tests/run_sequoia.py:284-292`). In zero-egress
-    environments, raises with a pointer to the expected file."""
+    """Return the local MT-Bench path: `data_root` if present, else the
+    repo-bundled copy (`data/bundled/mt_bench.jsonl`), else download when
+    the network allows (`tests/run_sequoia.py:284-292`)."""
     path = os.path.join(data_root, "mt_bench.jsonl")
     if os.path.exists(path):
         return path
+    bundled = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bundled",
+        "mt_bench.jsonl")
+    if os.path.exists(bundled):
+        return bundled
     try:  # pragma: no cover - network path
         import urllib.request
 

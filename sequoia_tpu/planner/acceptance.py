@@ -211,6 +211,22 @@ def calibrate_vector(
         v[1:] = np.minimum(v[1:] * s, 1.0)
         return float(expected_accepted(probe_gm, v))
 
+    # Bracket check (advisor r4): if the measured E falls outside what any
+    # scale in [lo, hi] can predict (degraded or anomalous probe run), a
+    # silent clamp would hand the planner an uncorrected bias. Warn loudly
+    # and return the endpoint — the caller sees the scale pinned at the
+    # bracket edge and the warning names the gap.
+    p_lo, p_hi = pred(lo), pred(hi)
+    if not (p_lo <= measured_e <= p_hi):
+        import warnings
+
+        warnings.warn(
+            f"calibrate_vector: measured E {measured_e:.3f} outside the "
+            f"bracket's predictable range [{p_lo:.3f}, {p_hi:.3f}] "
+            f"(scales [{lo}, {hi}]); returning the clamped endpoint — "
+            "the probe run looks anomalous, treat the calibrated plan "
+            "with suspicion", stacklevel=2)
+
     for _ in range(iters):
         mid = 0.5 * (lo + hi)
         if pred(mid) < measured_e:

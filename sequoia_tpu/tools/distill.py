@@ -39,21 +39,29 @@ def _batch_logits(params, cfg, tokens):  # tokens: [B, T]
     return jax.vmap(one)(tokens)  # [B, T, V]
 
 
-def lm_loss(params, cfg, tokens):
-    """Next-token cross-entropy over a [B, T] batch."""
+def lm_loss(params, cfg, tokens, loss_mask=None):
+    """Next-token cross-entropy over a [B, T] batch. `loss_mask` ([B, T-1],
+    0/1) drops padded positions (advisor r4: zero-padded rollout rows must
+    not train the models on trailing token-0 context)."""
     logits = _batch_logits(params, cfg, tokens)[:, :-1]
     targets = tokens[:, 1:]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    return nll.mean()
+    if loss_mask is None:
+        return nll.mean()
+    return (nll * loss_mask).sum() / jnp.maximum(loss_mask.sum(), 1.0)
 
 
-def distill_loss(params, cfg, teacher_logits, tokens, temperature=1.0):
+def distill_loss(params, cfg, teacher_logits, tokens, temperature=1.0,
+                 loss_mask=None):
     """KL(teacher || student) on teacher logits (soft distillation)."""
     logits = _batch_logits(params, cfg, tokens)[:, :-1]
     t = jax.nn.softmax(teacher_logits[:, :-1] / temperature, axis=-1)
     logp = jax.nn.log_softmax(logits / temperature, axis=-1)
-    return -(t * logp).sum(axis=-1).mean()
+    kl = -(t * logp).sum(axis=-1)
+    if loss_mask is None:
+        return kl.mean()
+    return (kl * loss_mask).sum() / jnp.maximum(loss_mask.sum(), 1.0)
 
 
 def train_lm(
@@ -68,6 +76,8 @@ def train_lm(
     init: Optional[LlamaParams] = None,
     distill_temperature: float = 1.0,
     mix_ce: float = 0.0,  # weight of the hard-label CE added to the KL
+    lengths: Optional[np.ndarray] = None,  # i32 [N] true row lengths; loss
+                                           # masked past length-1 (padding)
 ) -> LlamaParams:
     """Adam-train a model on `data` (CE), or distill from `teacher`.
 
@@ -90,33 +100,46 @@ def train_lm(
         t_params, t_cfg = teacher
         t_fn = jax.jit(partial(_batch_logits, t_params, t_cfg))
 
-        def loss_fn(p, batch, tlogits):
+        def loss_fn(p, batch, tlogits, lmask):
             loss = distill_loss(p, cfg, tlogits, batch,
-                                temperature=distill_temperature)
+                                temperature=distill_temperature,
+                                loss_mask=lmask)
             if mix_ce:
-                loss = loss + mix_ce * lm_loss(p, cfg, batch)
+                loss = loss + mix_ce * lm_loss(p, cfg, batch, loss_mask=lmask)
             return loss
     else:
-        def loss_fn(p, batch, tlogits):
-            return lm_loss(p, cfg, batch)
+        def loss_fn(p, batch, tlogits, lmask):
+            return lm_loss(p, cfg, batch, loss_mask=lmask)
 
     @jax.jit
-    def step(params, opt_state, batch, tlogits):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, tlogits)
+    def step(params, opt_state, batch, tlogits, lmask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, tlogits,
+                                                  lmask)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    T = data.shape[1]
+    if lengths is not None:
+        lengths = np.asarray(lengths, np.int32)
+        assert lengths.shape == (len(data),)
     rng = np.random.default_rng(seed)
     for i in range(steps):
         idx = rng.integers(0, len(data), size=batch_size)
         batch = jnp.asarray(data[idx])
+        if lengths is not None:
+            lmask = (np.arange(T - 1)[None, :]
+                     < (lengths[idx] - 1)[:, None]).astype(np.float32)
+            lmask = jnp.asarray(lmask)
+        else:
+            lmask = None
         tlogits = t_fn(batch) if teacher is not None else jnp.zeros(())
-        params, opt_state, loss = step(params, opt_state, batch, tlogits)
+        params, opt_state, loss = step(params, opt_state, batch, tlogits,
+                                       lmask)
     return params
 
 
 def corpus_from_reference(
-    path: str = "/root/reference/dataset/c4_small.json",
+    path: Optional[str] = None,
     vocab_size: int = 512,
     seq_len: int = 64,
     limit: int = 200,
@@ -124,9 +147,15 @@ def corpus_from_reference(
     """Bundled c4_small token rows remapped into a small vocab. The mod-remap
     destroys the original token identities but preserves *sequential
     structure* (the same deterministic stream for draft and target), which is
-    all acceptance-rate correlation needs."""
+    all acceptance-rate correlation needs. Default path is the repo-bundled
+    copy (`data/bundled/c4_small.json`) — no `/root/reference` mount needed."""
     from ..data.datasets import load_pretokenized_jsonl
 
+    if path is None:
+        import os
+
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "bundled", "c4_small.json")
     ds = load_pretokenized_jsonl(path, seq_len=seq_len, limit=limit)
     return (ds.ids % vocab_size).astype(np.int32)
 

@@ -40,13 +40,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--target", default="llama-2-13b")
     ap.add_argument("--draft", default="llama-68m")
-    ap.add_argument("--quant", default="int8")
+    ap.add_argument("--quant", default="int8",
+                    help="int8 | int4 | bf16 (bf16 = the parity-row config)")
     ap.add_argument("--draft-quant", default="int8")
     ap.add_argument("--max-length", type=int, default=384)
     ap.add_argument("--prefix-len", type=int, default=128)
+    ap.add_argument("--caps", default="48,64,96,128",
+                    help="tree-size caps for the candidate sweep")
     ap.add_argument("--reps", type=int, default=24)
     ap.add_argument("--ref-speedup", type=float, default=3.73)
+    ap.add_argument("--walk", default="path", choices=["path", "node", "staged"])
     ap.add_argument("--skip-ablation", action="store_true")
+    ap.add_argument("--ablation-cap", type=int, default=0,
+                    help="skip the candidate sweep; plan ONE tree at this "
+                         "cap and go straight to the in-loop ablation "
+                         "(fresh-process reruns after an OOM)")
+    ap.add_argument("--ablation-mb", type=int, default=8)
     args = ap.parse_args()
 
     import jax
@@ -77,8 +86,11 @@ def main():
     dcfg = get_config(args.draft)
     M = args.max_length
     t0 = time.perf_counter()
-    bits = {"int8": 8, "int4": 4}[args.quant]
-    tparams = random_quantized_model(tcfg, jax.random.PRNGKey(0), bits=bits)
+    if args.quant in ("bf16", "none"):
+        tparams = random_params(tcfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    else:
+        bits = {"int8": 8, "int4": 4}[args.quant]
+        tparams = random_quantized_model(tcfg, jax.random.PRNGKey(0), bits=bits)
     if args.draft_quant == "none":
         dparams = random_params(dcfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
     else:
@@ -97,8 +109,10 @@ def main():
     t_base = bench._ar_step_time(ar, prompt)
     log(f"AR baseline: {t_base * 1e3:.3f} ms/token")
 
+    caps = tuple(int(c) for c in args.caps.split(","))
+
     # ---- width curve ----------------------------------------------------
-    fit = tuple(b for b in (1, 32, 48, 64, 96, 128)
+    fit = tuple(b for b in sorted({1, 32, 48, 64, 96, 128, *caps})
                 if args.prefix_len + b + 32 <= M)
     budgets, target_time, _ = measure_latency_curve(
         dparams, dcfg, tparams, tcfg, budgets=fit, max_length=M,
@@ -111,7 +125,7 @@ def main():
 
     # ---- candidate trees: forced caps, both branch caps ------------------
     cands = {}
-    for cap in (48, 64, 96, 128):
+    for cap in caps:
         if cap not in budgets:
             continue
         tt = [target_time[budgets.index(cap)]]
@@ -122,29 +136,39 @@ def main():
     def mk_engine(gm_c, top_p=0.9):
         return SpecEngine(dparams, dcfg, tparams, tcfg, gm_c,
                           algorithm="sequoia", max_length=M,
-                          temperature=0.6, top_p=top_p, prefill_chunk=128)
+                          temperature=0.6, top_p=top_p, prefill_chunk=128,
+                          walk=args.walk)
 
-    rows = []
-    for (size, depth, mb), gm_c in sorted(cands.items()):
-        eng = mk_engine(gm_c)
-        state = eng.prefill(prompt)
-        t_it = bench._fused_iter_time(eng, state, reps=args.reps)
-        e_c = expected_accepted(gm_c, p)
-        ratio = e_c * t_base / t_it / args.ref_speedup
-        t_tgt = (target_time[budgets.index(size)] if size in budgets else None)
-        ovh = (t_it - t_tgt) * 1e3 if t_tgt else float("nan")
-        log(f"tree S={size:3d} d={depth} mb={mb:2d}: t_iter={t_it * 1e3:6.2f} ms "
-            f"E={e_c:.3f} ovh={ovh:5.2f} ms -> ratio {ratio:.3f}")
-        rows.append((size, depth, mb, t_it, e_c, ratio))
-    best = max(rows, key=lambda r: r[-1])
-    log(f"BEST measured ratio: {best[-1]:.3f} at S={best[0]} d={best[1]} mb={best[2]}")
+    if args.ablation_cap:
+        tt = [target_time[budgets.index(args.ablation_cap)]]
+        gm, _ = plan(p, [args.ablation_cap], tt, draft_time, max_depth=10,
+                     max_branch=args.ablation_mb)
+        e_c = expected_accepted(gm, p)
+        best = (gm.size, int(gm.depth.max()), gm.max_branch, None, e_c, None)
+        log(f"ablation-only on S={gm.size} d={best[1]} mb={best[2]} "
+            f"E={e_c:.3f}")
+    else:
+        rows = []
+        for (size, depth, mb), gm_c in sorted(cands.items()):
+            eng = mk_engine(gm_c)
+            state = eng.prefill(prompt)
+            t_it = bench._fused_iter_time(eng, state, reps=args.reps)
+            e_c = expected_accepted(gm_c, p)
+            ratio = e_c * t_base / t_it / args.ref_speedup
+            t_tgt = (target_time[budgets.index(size)] if size in budgets else None)
+            ovh = (t_it - t_tgt) * 1e3 if t_tgt else float("nan")
+            log(f"tree S={size:3d} d={depth} mb={mb:2d}: t_iter={t_it * 1e3:6.2f} ms "
+                f"E={e_c:.3f} ovh={ovh:5.2f} ms -> ratio {ratio:.3f}")
+            rows.append((size, depth, mb, t_it, e_c, ratio))
+        best = max(rows, key=lambda r: r[-1])
+        log(f"BEST measured ratio: {best[-1]:.3f} at S={best[0]} d={best[1]} mb={best[2]}")
 
-    if args.skip_ablation:
-        return
+        if args.skip_ablation:
+            return
 
-    # ---- in-loop ablation on the best tree -------------------------------
-    gm = next(g for (s, d, mb2), g in sorted(cands.items())
-              if (s, d, mb2) == (best[0], best[1], best[2]))
+        # ---- in-loop ablation on the best tree ---------------------------
+        gm = next(g for (s, d, mb2), g in sorted(cands.items())
+                  if (s, d, mb2) == (best[0], best[1], best[2]))
     eng = mk_engine(gm)
     state = eng.prefill(prompt)
 

@@ -55,6 +55,7 @@ from ..trees.accept import (
     stochastic_accept_decisions,
     stochastic_path_walk,
     stochastic_path_walk_node,
+    stochastic_path_walk_unrolled,
     token_match_accept,
 )
 from ..trees.growmap import GrowMap
@@ -106,14 +107,26 @@ class SpecEngine:
         walk: str = "path",
     ) -> None:
         assert algorithm in ALGORITHMS, algorithm
-        assert walk in ("path", "node", "staged"), walk
-        # Stochastic accept-walk implementation: "path" = sequential
-        # path-following walk (one lax.while_loop, lazily materialized
-        # per-node rows — ~depth [vocab]-row ops per iteration,
-        # trees/accept.py::stochastic_path_walk); "staged" = the batched
-        # sorted-parent decisions walk (~size row ops) kept as the
-        # measured/tested alternative and for the acceptance profiler.
+        assert walk in ("path", "node", "unrolled", "staged"), walk
+        # Stochastic accept-walk implementation: "unrolled" (default via
+        # bench configs) = the node walk flattened to max_depth+1 predicated
+        # node resolutions, no while_loop (a while trip's fixed sequential
+        # cost dominates the ~128 KB row math — measured walk+bonus
+        # 0.60 -> 0.27 ms on the 7B bf16 pair, scripts/ablate7b.py);
+        # "path" = sequential path-following walk (one lax.while_loop,
+        # lazily materialized per-node rows — ~depth [vocab]-row ops per
+        # iteration, trees/accept.py::stochastic_path_walk); "node" = one
+        # while trip per visited node; "staged" = the batched sorted-parent
+        # decisions walk (~size row ops) kept as the measured/tested
+        # alternative and for the acceptance profiler.
         self.walk = walk
+        # Measurement-only ablation switches (scripts/ablate7b.py): a
+        # frozenset over {"fixed_walk", "no_redraft"} that stubs pieces of
+        # finalize so phase costs can be differenced INSIDE the full fused
+        # iteration (standalone phase loops over-measure, and custom loop
+        # bodies change XLA's layout choices — the 7B ablation OOM'd on
+        # 3 GB of relayout copies). Never set in production paths.
+        self._ablate = frozenset()
         assert kv_quant in (None, "none", "int8", "int4"), kv_quant
         assert draft_cfg.vocab_size == target_cfg.vocab_size
         if algorithm in ("sequoia", "specinfer", "greedys"):
@@ -397,8 +410,24 @@ class SpecEngine:
         # --- Accept walk (device-side) ----------------------------------
         key, k_r, k_bonus, k_tok = jax.random.split(key, 4)
         walk_res = None
-        if self.algorithm in ("sequoia", "specinfer") and self.walk in (
-                "path", "node"):
+        if "fixed_walk" in self._ablate:
+            # Measurement stub: a constant accept-1-then-bonus path with no
+            # target-probs/walk/residual/bonus-sampling work. Differencing
+            # the full iteration against this isolates walk+bonus cost.
+            md_f = max(self.max_depth, 1)
+            second = 1 if gm_size > 1 else 0
+            path = PathResult(
+                path=jnp.full((md_f,), -1, jnp.int32).at[0].set(second),
+                accept_count=jnp.asarray(1 if gm_size > 1 else 0, jnp.int32),
+                final_node=jnp.asarray(second, jnp.int32),
+                terminal=jnp.asarray(False),
+            )
+            bonus = jnp.argmax(jax.lax.dynamic_index_in_dim(
+                target_logits, second, keepdims=False)).astype(jnp.int32)
+            terminal = jnp.asarray(False)
+            has_bonus = jnp.asarray(True)
+        elif self.algorithm in ("sequoia", "specinfer") and self.walk in (
+                "path", "node", "unrolled"):
             # Path-following walk (default): tests only the visited nodes'
             # edges, materializes p/q rows lazily, and its final residual
             # row IS the bonus distribution — ~depth [vocab]-row ops
@@ -409,8 +438,9 @@ class SpecEngine:
             r = jax.random.uniform(k_r, (gm_size,), jnp.float32)
             is_sequoia = self.algorithm == "sequoia"
             cut = nucleus_cutoff(target_logits, self.top_p, self.temperature)
-            walk_fn = (stochastic_path_walk_node if self.walk == "node"
-                       else stochastic_path_walk)
+            walk_fn = {"node": stochastic_path_walk_node,
+                       "unrolled": stochastic_path_walk_unrolled,
+                       "path": stochastic_path_walk}[self.walk]
             walk_res = walk_fn(
                 target_logits, draft_logits, tokens_tree, r, self._succ_np,
                 self.temperature, cut, self.stop_tokens,
@@ -458,7 +488,9 @@ class SpecEngine:
             )
 
         # --- Bonus token -------------------------------------------------
-        if self.algorithm in ("sequoia", "specinfer"):
+        if "fixed_walk" in self._ablate:
+            pass  # bonus/terminal/has_bonus fixed above (measurement stub)
+        elif self.algorithm in ("sequoia", "specinfer"):
             if walk_res is not None:
                 res = walk_res.p_final_row
             else:
@@ -514,14 +546,22 @@ class SpecEngine:
         new_ts = new_gtl - 1
 
         # --- Width-1 draft forward on the new root (bonus) ---------------
-        root_token = jax.lax.dynamic_index_in_dim(tokens_buf, new_ts, keepdims=False)
-        root_pos = new_ts[None].astype(jnp.int32)
-        k_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
-        root_mask = k_idx <= new_ts
-        root_logits, draft_kv = forward(
-            draft_params, self.draft_cfg, root_token[None], root_pos,
-            draft_kv, new_ts, root_mask,
-        )
+        if "no_redraft" in self._ablate:
+            # Measurement stub: reuse a tree row as the next root logits
+            # (wrong semantics; isolates the re-draft forward's cost).
+            root_logits = jax.lax.dynamic_index_in_dim(
+                draft_logits, jnp.maximum(path.final_node, 0),
+                keepdims=False)[None].astype(jnp.float32)
+        else:
+            root_token = jax.lax.dynamic_index_in_dim(
+                tokens_buf, new_ts, keepdims=False)
+            root_pos = new_ts[None].astype(jnp.int32)
+            k_idx = jnp.arange(M, dtype=jnp.int32)[None, :]
+            root_mask = k_idx <= new_ts
+            root_logits, draft_kv = forward(
+                draft_params, self.draft_cfg, root_token[None], root_pos,
+                draft_kv, new_ts, root_mask,
+            )
 
         first_child = path.path[0]
         first_rank = jnp.where(

@@ -501,6 +501,106 @@ def stochastic_path_walk_node(
     )
 
 
+def stochastic_path_walk_unrolled(
+    target_logits: jax.Array,  # f32 [size, vocab]
+    draft_logits: jax.Array,   # f32 [size, vocab]
+    tokens_tree: jax.Array,    # i32 [size]
+    r: jax.Array,              # f32 [size] uniform threshold per node
+    successors,                # STATIC np.ndarray [size, max_branch], -1 pad
+    temperature: float,
+    top_p_cut: jax.Array,      # f32 [size] inclusive nucleus cutoff per row
+    stop_tokens,
+    max_depth: int,
+    strict: bool,
+    mask_rejected_draft: bool,
+) -> WalkResult:
+    """`stochastic_path_walk_node` with the while-loop UNROLLED: exactly
+    `max_depth + 1` node resolutions as straight-line predicated dataflow.
+    A `lax.while_loop` trip on TPU carries a fixed sequential cost (carry
+    round-trip + the tiny row ops dispatched one trip at a time, no
+    cross-trip overlap); the walk's row ops are ~128 KB each, so at typical
+    accepted depths the loop machinery — not the math — dominates
+    (measured on the 7B bf16 pair: walk+bonus 0.60 ms under the node walk
+    vs 0.27 ms unrolled, scripts/ablate7b.py). Unrolling always pays for
+    `max_depth + 1` node resolutions (each `max_branch` predicated
+    [vocab]-row updates), but XLA fuses and pipelines them freely. Same
+    math in the same order as the loop walks — once `done` is set every
+    later update is predicated off, so decisions and outputs are
+    bit-identical (tests/test_path_walk.py)."""
+    import numpy as np
+
+    successors = np.asarray(successors)
+    size, max_branch = successors.shape
+    succ_d = jnp.asarray(successors, jnp.int32)
+    stop = jnp.asarray(list(stop_tokens), jnp.int32)
+
+    def p_at(node):
+        row = jax.lax.dynamic_index_in_dim(target_logits, node, keepdims=False)
+        sm = jax.nn.softmax(row.astype(jnp.float32) / temperature)
+        cut = top_p_cut[node]
+        kept = jnp.where(sm >= cut, sm, 0.0)
+        return kept / jnp.sum(kept)
+
+    def q_at(node):
+        row = jax.lax.dynamic_index_in_dim(draft_logits, node, keepdims=False)
+        return jax.nn.softmax(row.astype(jnp.float32) / temperature)
+
+    node0 = jnp.asarray(0, jnp.int32)
+    cur = node0
+    p_row = p_at(node0)
+    q_row = q_at(node0)
+    path = jnp.full((max_depth,), -1, jnp.int32)
+    count = jnp.asarray(0, jnp.int32)
+    terminal = jnp.asarray(False)
+    done = jnp.asarray(False)
+
+    for _ in range(max_depth + 1):
+        live = ~done
+        children = jax.lax.dynamic_index_in_dim(succ_d, cur, keepdims=False)
+        can_descend = count < max_depth
+        found = jnp.asarray(False)
+        open_ = live
+        chosen = jnp.asarray(0, jnp.int32)
+        chosen_tok = jnp.asarray(0, jnp.int32)
+        for j in range(max_branch):
+            child = children[j]
+            has_child = child >= 0
+            open_ = open_ & has_child
+            child_c = jnp.maximum(child, 0)
+            token = tokens_tree[child_c]
+            p_tok = p_row[token]
+            q_tok = q_row[token]
+            thresh = r[child_c] * q_tok
+            ok = (p_tok > thresh) if strict else (p_tok >= thresh)
+            test = open_ & ~found
+            accept = test & ok & can_descend
+            reject = test & ~ok
+            chosen = jnp.where(accept, child_c, chosen)
+            chosen_tok = jnp.where(accept, token, chosen_tok)
+            found = found | accept
+            p_res = residual(p_row[None], q_row[None])[0]
+            p_row = jnp.where(reject, p_res, p_row)
+            if mask_rejected_draft:
+                q_new = q_row.at[token].set(0.0) / jnp.maximum(
+                    1.0 - q_tok, 1e-30)
+                q_row = jnp.where(reject, q_new, q_row)
+
+        is_stop = found & jnp.isin(chosen_tok, stop)
+        path = jnp.where(found, path.at[count].set(chosen), path)
+        count = count + found.astype(jnp.int32)
+        descend = found & ~is_stop
+        cur = jnp.where(found, chosen, cur)
+        p_row = jnp.where(descend, p_at(chosen), p_row)
+        q_row = jnp.where(descend, q_at(chosen), q_row)
+        terminal = terminal | is_stop
+        done = done | is_stop | ~found
+
+    return WalkResult(
+        path=path, accept_count=count, final_node=cur, terminal=terminal,
+        p_final_row=p_row,
+    )
+
+
 def token_match_accept(
     target_token: jax.Array,   # i32 [size]: per-node verification token
     tokens_tree: jax.Array,    # i32 [size]

@@ -23,6 +23,7 @@ from sequoia_tpu.trees.accept import (
     stochastic_accept_decisions,
     stochastic_path_walk,
     stochastic_path_walk_node,
+    stochastic_path_walk_unrolled,
 )
 from sequoia_tpu.trees.growmap import uniform_tree
 
@@ -77,7 +78,8 @@ def test_matches_staged_pipeline(strict, mask, top_p):
         path, res = _staged(p, dl, tokens, r, succ, temp, stop, max_depth,
                             strict, mask)
         cut = nucleus_cutoff(tl, top_p, temp)
-        for walk_fn in (stochastic_path_walk, stochastic_path_walk_node):
+        for walk_fn in (stochastic_path_walk, stochastic_path_walk_node,
+                        stochastic_path_walk_unrolled):
             walk = walk_fn(
                 tl, dl, tokens, r, succ, temp, cut, stop, max_depth,
                 strict=strict, mask_rejected_draft=mask)
@@ -136,5 +138,8 @@ def test_engine_path_vs_staged_same_tokens(algo):
                        ).generate(prompt, max_new_tokens=30, seed=0)
     out_s = SpecEngine(draft, cfg, target, cfg, gm, walk="staged", **kw
                        ).generate(prompt, max_new_tokens=30, seed=0)
+    out_u = SpecEngine(draft, cfg, target, cfg, gm, walk="unrolled", **kw
+                       ).generate(prompt, max_new_tokens=30, seed=0)
     np.testing.assert_array_equal(out_p, out_s)
     np.testing.assert_array_equal(out_n, out_s)
+    np.testing.assert_array_equal(out_u, out_s)

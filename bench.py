@@ -691,8 +691,13 @@ def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
     t_base = _ar_step_time(ar, prompt)
     log(f"[parity] bf16 AR baseline: {t_base * 1e3:.2f} ms/token")
 
+    # Budget grid includes the MID sizes: round-4's (128, 192, 256, 320)
+    # sweep missed that the measured-ratio optimum sits at S~96 — the
+    # flat-curve knee where E(S) has nearly saturated but the per-size
+    # overheads (nucleus rows, WOR pool, logits buffer) keep growing
+    # (round-5 ablation: S=96 ratio 0.87 vs S=128's 0.84).
     fit_budgets = tuple(
-        b for b in (1, 64, 128, 192, 256, 320)
+        b for b in (1, 64, 80, 96, 128, 192, 256)
         if args.prefix_len + b + 32 <= M)
     budgets, target_time, _ = measure_latency_curve(
         draft_params, draft_cfg, target_params, target_cfg,
@@ -706,7 +711,7 @@ def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
     # Branch cap sweep: mb=32 buys ~0.02 E over mb=8 at cap 128 but the
     # accept walk is a sequential scan over sibling ranks, so the wide-cap
     # variant pays ~2x the walk — measured, not assumed (key includes mb).
-    for cap in (128, 192, 256, 320):
+    for cap in (64, 80, 96, 128, 192):
         if cap not in budgets:
             continue
         for mb in (args.max_branch, 32):
@@ -785,6 +790,10 @@ def _bench_bf16_parity_inner(args, p, target_cfg, draft_cfg, M, held):
         "iteration_overhead_ms": overhead_ms and round(overhead_ms, 3),
         "roofline_ceiling_ratio": round(ceiling_ratio, 3),
         "curve_ceiling_ratio": round(curve_ceiling, 3),
+        "walk": "node",
+        "overhead_breakdown_ref": "ABLATE7B_r05.json (in-engine variant "
+                                  "ablation: walk+bonus / nucleus / WOR / "
+                                  "redraft split at S=96)",
     }
     del ar, target_params, draft_params, best, candidates
     held.clear()

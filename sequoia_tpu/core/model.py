@@ -38,7 +38,6 @@ from ..kvcache.cache import (
     KVCache8,
     quantize_kv_rows,
     quantize_kv_rows4,
-    unpack_kv_rows4,
 )
 from ..quant.qtensor import matmul as qmm
 
@@ -251,22 +250,58 @@ def forward(
 
         # GQA without materializing repeated KV heads.
         qg = q.reshape(Q, Hkv, G, D)
-        if quantized_kv:
-            # int8/int4 rows cross HBM; the convert (and int4 nibble unpack)
-            # fuses into the dot (same as weight-only quantization) and the
-            # per-row scales fold into attention exactly: scores *= ks[m,h]
-            # pre-softmax, probs *= vs[m,h] pre-value-dot. Always the XLA
-            # path (the Pallas tree kernel takes float caches).
-            ki = unpack_kv_rows4(k_cache) if int4_kv else k_cache
-            vi = unpack_kv_rows4(v_cache) if int4_kv else v_cache
-            kf = ki.astype(hidden.dtype)
+        if int4_kv:
+            # CONCAT-FREE int4 unpack: the packed byte at dim d holds row
+            # value d (low nibble) and D/2+d (high), so the score dot
+            # splits exactly into q[..., :D/2] @ lo + q[..., D/2:] @ hi
+            # (and the value dot into two output halves). The previous
+            # `unpack_kv_rows4` + concat formulation blocked XLA's
+            # unpack-into-dot fusion at batch — the concatenate forced the
+            # unpacked cache to materialize, and the B=64 serving verify
+            # ran 104 ms/iteration (4x the B=32 row for 2x the batch,
+            # BENCH_r04 crossover); two-dot form re-measured 27.8 ms
+            # (scripts/probe_b64_int4.py, round 5). Per-row scales fold in
+            # exactly as in the int8 path.
+            half = D // 2
+            k_lo = jnp.right_shift(jnp.left_shift(k_cache, 4), 4).astype(
+                hidden.dtype)
+            k_hi = jnp.right_shift(k_cache, 4).astype(hidden.dtype)
+            scores = (jnp.einsum(
+                "qhgd,mhd->hgqm", qg[..., :half], k_lo,
+                preferred_element_type=jnp.float32,
+            ) + jnp.einsum(
+                "qhgd,mhd->hgqm", qg[..., half:], k_hi,
+                preferred_element_type=jnp.float32,
+            )) * scale
+            scores = scores * ks_c.T[:, None, None, :]
+            scores = scores + bias[None, None, :, :]
+            v_lo = jnp.right_shift(jnp.left_shift(v_cache, 4), 4).astype(
+                hidden.dtype)
+            v_hi = jnp.right_shift(v_cache, 4).astype(hidden.dtype)
+            v_scale = vs_c.T[:, None, None, :]
+
+            def main_value_dot(pm):
+                return jnp.concatenate([
+                    jnp.einsum("hgqm,mhd->qhgd", pm, v_lo),
+                    jnp.einsum("hgqm,mhd->qhgd", pm, v_hi),
+                ], axis=-1)
+        elif quantized_kv:
+            # int8 rows cross HBM; the convert fuses into the dot (same as
+            # weight-only quantization) and the per-row scales fold into
+            # attention exactly: scores *= ks[m,h] pre-softmax, probs *=
+            # vs[m,h] pre-value-dot. Always the XLA path (the Pallas tree
+            # kernel takes float caches).
+            kf = k_cache.astype(hidden.dtype)
             scores = jnp.einsum(
                 "qhgd,mhd->hgqm", qg, kf, preferred_element_type=jnp.float32
             ) * scale
             scores = scores * ks_c.T[:, None, None, :]
             scores = scores + bias[None, None, :, :]
-            vf = vi.astype(hidden.dtype)
+            vf = v_cache.astype(hidden.dtype)
             v_scale = vs_c.T[:, None, None, :]
+
+            def main_value_dot(pm):
+                return jnp.einsum("hgqm,mhd->qhgd", pm, vf)
         else:
             # XLA fused attention (einsum -> softmax -> einsum) on every
             # path. A dedicated Pallas tree-attention kernel was built,
@@ -286,6 +321,9 @@ def forward(
             vf = v_cache
             v_scale = None
 
+            def main_value_dot(pm):
+                return jnp.einsum("hgqm,mhd->qhgd", pm, vf)
+
         if split:
             scores_scr = jnp.einsum(
                 "qhgd,shd->hgqs", qg, sk, preferred_element_type=jnp.float32
@@ -296,15 +334,13 @@ def forward(
                 jnp.concatenate([scores, scores_scr], axis=-1), axis=-1)
             probs, probs_scr = full[..., :M], full[..., M:]
             pm = probs * v_scale if v_scale is not None else probs
-            attn = jnp.einsum(
-                "hgqm,mhd->qhgd", pm.astype(hidden.dtype), vf
-            ) + jnp.einsum(
+            attn = main_value_dot(pm.astype(hidden.dtype)) + jnp.einsum(
                 "hgqs,shd->qhgd", probs_scr.astype(hidden.dtype), sv
             )
         else:
             probs = jax.nn.softmax(scores, axis=-1)
             pm = probs * v_scale if v_scale is not None else probs
-            attn = jnp.einsum("hgqm,mhd->qhgd", pm.astype(hidden.dtype), vf)
+            attn = main_value_dot(pm.astype(hidden.dtype))
         attn = attn.reshape(Q, H * D)
         hidden = hidden + qmm(attn, lp.wo)
 

@@ -104,21 +104,20 @@ class SpecEngine:
         mesh=None,
         shard_draft: bool = False,
         kv_quant: Optional[str] = None,
-        walk: str = "path",
+        walk: str = "node",
     ) -> None:
         assert algorithm in ALGORITHMS, algorithm
         assert walk in ("path", "node", "unrolled", "staged"), walk
-        # Stochastic accept-walk implementation: "unrolled" (default via
-        # bench configs) = the node walk flattened to max_depth+1 predicated
-        # node resolutions, no while_loop (a while trip's fixed sequential
-        # cost dominates the ~128 KB row math — measured walk+bonus
-        # 0.60 -> 0.27 ms on the 7B bf16 pair, scripts/ablate7b.py);
-        # "path" = sequential path-following walk (one lax.while_loop,
-        # lazily materialized per-node rows — ~depth [vocab]-row ops per
-        # iteration, trees/accept.py::stochastic_path_walk); "node" = one
-        # while trip per visited node; "staged" = the batched sorted-parent
-        # decisions walk (~size row ops) kept as the measured/tested
-        # alternative and for the acceptance profiler.
+        # Stochastic accept-walk implementation, A/B-measured on the 7B
+        # bf16 pair at S=96 (scripts/ablate7b.py, round 5): "node" (default)
+        # = one while trip per VISITED node, iteration overhead 0.547 ms;
+        # "path" = per-tested-edge trips, 0.689 ms; "staged" = batched
+        # sorted-parent decisions (~size row ops), 1.006 ms; "unrolled" =
+        # node walk flattened to max_depth+1 predicated resolutions with no
+        # while_loop, 1.446 ms — the always-paid max_branch*(depth+1)
+        # full-vocab row updates cost MORE than the loop's per-trip fixed
+        # cost (measured negative result; kept for the record). At 13B
+        # node-vs-path measured a wash (round-4 commit 0217621).
         self.walk = walk
         # Measurement-only ablation switches (scripts/ablate7b.py): a
         # frozenset over {"fixed_walk", "no_redraft"} that stubs pieces of

@@ -106,7 +106,15 @@ def top_p_threshold_from_logits(
     R, V = logits.shape
     logits = logits.astype(jnp.float32)
     Vp = _round_up(V, 128)
-    block_r = 8
+    # 32 rows/block: the bisection is a SEQUENTIAL 32-pass fori_loop per
+    # grid program and grid programs themselves run sequentially on the one
+    # tensor core, so pass count — not VPU throughput — dominates at tree
+    # widths. 8-row blocks cost 12 programs x 32 passes at width 96
+    # (measured 0.235 ms inside the 7B iteration); 32-row blocks cut the
+    # sequential pass count 4x (measured 0.080 ms, scripts/ablate7b.py).
+    # VMEM at 32 rows: x/e/p planes 3 x 32x32000x4 = 12.3 MB — inside the
+    # ~16 MB scoped budget.
+    block_r = 32
     Rp = _round_up(R, block_r)
     if (Rp, Vp) != (R, V):
         # Lane padding must stay OUT of the softmax: -inf logits get

@@ -516,16 +516,16 @@ def stochastic_path_walk_unrolled(
 ) -> WalkResult:
     """`stochastic_path_walk_node` with the while-loop UNROLLED: exactly
     `max_depth + 1` node resolutions as straight-line predicated dataflow.
-    A `lax.while_loop` trip on TPU carries a fixed sequential cost (carry
-    round-trip + the tiny row ops dispatched one trip at a time, no
-    cross-trip overlap); the walk's row ops are ~128 KB each, so at typical
-    accepted depths the loop machinery — not the math — dominates
-    (measured on the 7B bf16 pair: walk+bonus 0.60 ms under the node walk
-    vs 0.27 ms unrolled, scripts/ablate7b.py). Unrolling always pays for
-    `max_depth + 1` node resolutions (each `max_branch` predicated
-    [vocab]-row updates), but XLA fuses and pipelines them freely. Same
-    math in the same order as the loop walks — once `done` is set every
-    later update is predicated off, so decisions and outputs are
+    Hypothesis: a `lax.while_loop` trip's fixed sequential cost dominates
+    the ~128 KB row math, so trading early exit for free XLA pipelining
+    should win. MEASURED NEGATIVE on the 7B bf16 pair at S=96 d=7 mb=7
+    (scripts/ablate7b.py, round 5): iteration overhead 1.446 ms unrolled
+    vs 0.547 ms for the node walk — the always-paid
+    `max_branch * (max_depth+1)` predicated full-vocab residual updates
+    (56 rows here vs ~E+1 = 5 visited nodes) outweigh the loop machinery.
+    Kept as a tested variant for the record; not a production default.
+    Same math in the same order as the loop walks — once `done` is set
+    every later update is predicated off, so decisions and outputs are
     bit-identical (tests/test_path_walk.py)."""
     import numpy as np
 

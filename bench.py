@@ -429,7 +429,9 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
             # while the DP at B>=32 picks size<=8 trees anyway (measured:
             # B=32 chose S=8) — wide-tree probes at large B are pure peak
             # memory with no planning value.
-            bbudgets = (1, 8, 16, 32, 64) if B <= 16 else (1, 4, 8, 16)
+            bbudgets = ((1, 8, 16, 32, 64) if B <= 16
+                        else (1, 4, 8, 16) if B <= 64
+                        else (1, 2, 4, 8))  # B>64: W=16 profile is the peak
             btt = time_forward_widths(
                 target_params, target_cfg, bbudgets,
                 max_length=args.max_length, kv_len=args.prefix_len, reps=12,

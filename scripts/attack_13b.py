@@ -56,6 +56,9 @@ def main():
                          "cap and go straight to the in-loop ablation "
                          "(fresh-process reruns after an OOM)")
     ap.add_argument("--ablation-mb", type=int, default=8)
+    ap.add_argument("--dst", default="",
+                    help="write the candidate sweep as a JSON artifact "
+                         "(pair rows for PAIRS_r05)")
     args = ap.parse_args()
 
     import jax
@@ -162,6 +165,33 @@ def main():
             rows.append((size, depth, mb, t_it, e_c, ratio))
         best = max(rows, key=lambda r: r[-1])
         log(f"BEST measured ratio: {best[-1]:.3f} at S={best[0]} d={best[1]} mb={best[2]}")
+
+        if args.dst:
+            import json
+            out = {
+                "target": args.target, "draft": args.draft,
+                "quant": args.quant, "draft_quant": args.draft_quant,
+                "ar_ms_per_token": round(t_base * 1e3, 3),
+                "target_time_ms": {b: round(t * 1e3, 3)
+                                   for b, t in zip(budgets, target_time)},
+                "ref_speedup": args.ref_speedup,
+                "candidates": [
+                    {"size": s, "depth": d, "max_branch": mb2,
+                     "ms_per_iteration": round(t * 1e3, 3),
+                     "expected_accepted": round(e, 3),
+                     "speedup_vs_own_ar": round(e * t_base / t, 3),
+                     "ratio_vs_ref": round(r, 3)}
+                    for (s, d, mb2, t, e, r) in rows],
+                "best": {"size": best[0], "depth": best[1],
+                         "max_branch": best[2],
+                         "ms_per_iteration": round(best[3] * 1e3, 3),
+                         "expected_accepted": round(best[4], 3),
+                         "speedup_vs_own_ar":
+                             round(best[4] * t_base / best[3], 3),
+                         "ratio_vs_ref": round(best[5], 3)},
+            }
+            json.dump(out, open(args.dst, "w"), indent=1)
+            print(json.dumps(out))
 
         if args.skip_ablation:
             return

@@ -25,6 +25,10 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="64,96,128")
+    ap.add_argument("--max-length", type=int, default=256,
+                    help="B=96/128 need M<=192: the timing loop keeps two "
+                         "KV copies (carry + live input) and 2x the int4 "
+                         "cache at M=256 tips 16 GB")
     ap.add_argument("--kv-quant", default="int4")
     ap.add_argument("--dst", default="/tmp/probe_b64.json")
     args_p = ap.parse_args()
@@ -52,7 +56,9 @@ def main():
     log(f"param init: {time.perf_counter() - t0:.1f}s")
 
     bargs = argparse.Namespace(
-        max_length=256, prefix_len=128, max_depth=14, max_branch=8,
+        max_length=args_p.max_length,
+        prefix_len=min(128, args_p.max_length - 64),
+        max_depth=14, max_branch=8,
         batched_kv_quant=args_p.kv_quant,
     )
     rows = bench._crossover_sweep(

@@ -251,28 +251,32 @@ def forward(
         # GQA without materializing repeated KV heads.
         qg = q.reshape(Q, Hkv, G, D)
         if int4_kv:
-            # CONCAT-FREE int4 unpack: the packed byte at dim d holds row
-            # value d (low nibble) and D/2+d (high), so the score dot
-            # splits exactly into q[..., :D/2] @ lo + q[..., D/2:] @ hi
-            # (and the value dot into two output halves). The previous
-            # `unpack_kv_rows4` + concat formulation blocked XLA's
-            # unpack-into-dot fusion at batch — the concatenate forced the
-            # unpacked cache to materialize, and the B=64 serving verify
-            # ran 104 ms/iteration (4x the B=32 row for 2x the batch,
-            # BENCH_r04 crossover); two-dot form re-measured 27.8 ms
-            # (scripts/probe_b64_int4.py, round 5). Per-row scales fold in
-            # exactly as in the int8 path.
-            half = D // 2
+            # CONCAT-FREE int4 unpack over the head-paired packing
+            # (`kvcache/cache.py::KVCache4`): the packed byte at [m, j, d]
+            # holds head 2j (low nibble) and 2j+1 (high), so attention
+            # splits exactly into an even-head dot and an odd-head dot with
+            # the nibble extraction staying elementwise — XLA fuses it into
+            # each dot and the unpacked cache NEVER materializes. The
+            # original `unpack_kv_rows4` + concat formulation blocked that
+            # fusion at batch and the B=64 serving verify ran 104 ms/
+            # iteration (4x the B=32 row for 2x the batch, BENCH_r04
+            # crossover); concat-free re-measured 56.75 ms
+            # (scripts/probe_b64_int4.py, round 5). Head-pair packing also
+            # keeps the s8 minor dim at D=128 — the old [.., D/2] layout
+            # tile-padded 2x, making "int4" occupy int8's HBM. Per-row
+            # scales fold in exactly as in the int8 path (applied on the
+            # re-interleaved scores).
             k_lo = jnp.right_shift(jnp.left_shift(k_cache, 4), 4).astype(
-                hidden.dtype)
-            k_hi = jnp.right_shift(k_cache, 4).astype(hidden.dtype)
-            scores = (jnp.einsum(
-                "qhgd,mhd->hgqm", qg[..., :half], k_lo,
-                preferred_element_type=jnp.float32,
-            ) + jnp.einsum(
-                "qhgd,mhd->hgqm", qg[..., half:], k_hi,
-                preferred_element_type=jnp.float32,
-            )) * scale
+                hidden.dtype)                       # [M, Hkv/2, D] even heads
+            k_hi = jnp.right_shift(k_cache, 4).astype(hidden.dtype)  # odd
+            qg_e, qg_o = qg[:, 0::2], qg[:, 1::2]   # [Q, Hkv/2, G, D]
+            s_e = jnp.einsum("qhgd,mhd->hgqm", qg_e, k_lo,
+                             preferred_element_type=jnp.float32)
+            s_o = jnp.einsum("qhgd,mhd->hgqm", qg_o, k_hi,
+                             preferred_element_type=jnp.float32)
+            Mlen = s_e.shape[-1]
+            scores = jnp.stack([s_e, s_o], axis=1).reshape(
+                Hkv, G, Q, Mlen) * scale
             scores = scores * ks_c.T[:, None, None, :]
             scores = scores + bias[None, None, :, :]
             v_lo = jnp.right_shift(jnp.left_shift(v_cache, 4), 4).astype(
@@ -281,10 +285,9 @@ def forward(
             v_scale = vs_c.T[:, None, None, :]
 
             def main_value_dot(pm):
-                return jnp.concatenate([
-                    jnp.einsum("hgqm,mhd->qhgd", pm, v_lo),
-                    jnp.einsum("hgqm,mhd->qhgd", pm, v_hi),
-                ], axis=-1)
+                a_e = jnp.einsum("hgqm,mhd->qhgd", pm[0::2], v_lo)
+                a_o = jnp.einsum("hgqm,mhd->qhgd", pm[1::2], v_hi)
+                return jnp.stack([a_e, a_o], axis=2).reshape(Q, Hkv, G, D)
         elif quantized_kv:
             # int8 rows cross HBM; the convert fuses into the dot (same as
             # weight-only quantization) and the per-row scales fold into

@@ -121,12 +121,18 @@ class KVCache4(NamedTuple):
     re-measured at this precision (SURVEY.md §7.3, planner inputs are
     precision-dependent).
 
-    Packing: HALF-SPLIT along head_dim, matching the int4 weight layout
-    (`quant/qtensor.py::quantize_int4`): packed byte d holds row value d in
-    the low nibble and value D/2 + d in the high nibble, so unpacking is two
-    shifts + a concat — no interleave.
+    Packing: ADJACENT-HEAD pairs — the byte at `[m, j, d]` holds head `2j`'s
+    value d in the low nibble and head `2j+1`'s in the high nibble, so the
+    packed minor dimension stays the full `head_dim`. The earlier head_dim
+    half-split (`[.., Hkv, D/2]`) left a 64-wide s8 minor dim that XLA's
+    (32, 128) tile PADS 2x — the "int4" cache occupied exactly int8's HBM
+    (measured: B=96 x M=192 7B serving OOM'd on s8[32,96,192,32,64] temps
+    at 2.0x expansion, round 5). Head pairs keep lanes full at rest and in
+    compute (attention splits into even/odd-head dots, core/model.py), and
+    adjacent pairing keeps TP head-sharding local (pairs never straddle a
+    shard as long as Hkv/2 divides tp).
 
-    k/v:   int8 [L, M, Hkv, D/2] (two int4 per byte)
+    k/v:   int8 [L, M, Hkv/2, D] (two int4 per byte, head-paired)
     ks/vs: f32  [L, M, Hkv]
     """
 
@@ -141,9 +147,11 @@ class KVCache4(NamedTuple):
 
     @staticmethod
     def init(cfg: LlamaConfig, max_length: int, dtype=None) -> "KVCache4":
-        assert cfg.head_dim_ % 2 == 0, "int4 KV packing needs even head_dim"
-        shape = (cfg.num_layers, max_length, cfg.num_kv_heads, cfg.head_dim_ // 2)
-        sshape = shape[:-1]
+        assert cfg.num_kv_heads % 2 == 0, \
+            "int4 KV packs adjacent head pairs; needs an even kv-head count"
+        shape = (cfg.num_layers, max_length, cfg.num_kv_heads // 2,
+                 cfg.head_dim_)
+        sshape = (cfg.num_layers, max_length, cfg.num_kv_heads)
         return KVCache4(
             k=jnp.zeros(shape, jnp.int8),
             v=jnp.zeros(shape, jnp.int8),
@@ -172,19 +180,25 @@ def quantize_kv_rows(x: jax.Array):
 
 
 def quantize_kv_rows4(x: jax.Array):
-    """x: float [Q, Hkv, D] -> (packed int4 rows [Q, Hkv, D/2], f32 scales
-    [Q, Hkv]). Half-split packing (see `KVCache4`)."""
+    """x: float [Q, Hkv, D] -> (packed int4 rows [Q, Hkv/2, D], f32 scales
+    [Q, Hkv]). Adjacent-head-pair packing (see `KVCache4`): low nibble =
+    head 2j, high nibble = head 2j+1. Scales stay per (row, head) — the
+    quantized VALUES are identical to the old head_dim-split layout, only
+    their arrangement changed, so acceptance/quality measurements carry
+    over."""
     xf = x.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 7.0
     q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
-    half = q.shape[-1] // 2
-    lo = q[..., :half] & 0x0F
-    hi = q[..., half:] << 4
+    lo = q[..., 0::2, :] & 0x0F
+    hi = q[..., 1::2, :] << 4
     return (lo | hi).astype(jnp.int8), scale
 
 
 def unpack_kv_rows4(packed: jax.Array) -> jax.Array:
-    """packed int8 [..., D/2] -> int8 values [..., D] (sign-extended)."""
+    """packed int8 [..., Hkv/2, D] -> int8 values [..., Hkv, D]
+    (sign-extended, heads re-interleaved)."""
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: sign-extends
     hi = jnp.right_shift(packed, 4)
-    return jnp.concatenate([lo, hi], axis=-1)
+    stacked = jnp.stack([lo, hi], axis=-2)              # [..., Hp, 2, D]
+    return stacked.reshape(*packed.shape[:-2], packed.shape[-2] * 2,
+                           packed.shape[-1])

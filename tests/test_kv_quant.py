@@ -67,13 +67,14 @@ def test_forward_close_to_float_cache(model):
 
 
 def test_pack_unpack_int4_exact():
-    """Every int4 value in [-7, 7] survives the half-split pack/unpack."""
+    """Every int4 value in [-7, 7] survives the head-pair pack/unpack
+    (packed minor dim stays head_dim; heads re-interleave on unpack)."""
     rng = np.random.default_rng(2)
-    x = rng.integers(-7, 8, size=(4, 3, 16)).astype(np.float32)
+    x = rng.integers(-7, 8, size=(4, 4, 16)).astype(np.float32)
     # Feed values already on the grid with a known scale: amax 7 -> scale 1.
     x[..., 0] = 7.0
     packed, scale = quantize_kv_rows4(jnp.asarray(x))
-    assert packed.shape == (4, 3, 8) and packed.dtype == jnp.int8
+    assert packed.shape == (4, 2, 16) and packed.dtype == jnp.int8
     np.testing.assert_allclose(np.asarray(scale), 1.0)
     back = np.asarray(unpack_kv_rows4(packed), np.float32)
     np.testing.assert_array_equal(back, x)

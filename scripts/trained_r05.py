@@ -70,6 +70,14 @@ def main():
     ap.add_argument("--target-steps", type=int, default=800)
     ap.add_argument("--draft-steps", type=int, default=24000)
     ap.add_argument("--rollouts", type=int, default=512)
+    ap.add_argument("--target-shape", default="8,256",
+                    help="layers,hidden. The all-measured SPEEDUP row needs "
+                         "an ASYMMETRIC pair (e.g. 12,1024 target vs 4,256 "
+                         "draft): with equal shapes the v1 run realized "
+                         "E=5.35 but lost wall-clock 0.72x — each iteration "
+                         "cost 10 AR steps")
+    ap.add_argument("--draft-shape", default="8,256")
+    ap.add_argument("--vocab", type=int, default=512)
     ap.add_argument("--seq-len", type=int, default=160)
     ap.add_argument("--width", type=int, default=16)
     ap.add_argument("--budget", type=int, default=64)
@@ -110,10 +118,15 @@ def main():
     )
 
     sections = set(args.sections.split(","))
-    base = get_config("test-small")
-    tcfg = _shape_cfg(base, 8, 256)
-    dcfg = dataclasses.replace(_shape_cfg(base, 8, 256),
-                               vocab_size=tcfg.vocab_size)
+    base = dataclasses.replace(get_config("test-small"),
+                               vocab_size=args.vocab)
+    tshape = tuple(int(x) for x in args.target_shape.split(","))
+    dshape = tuple(int(x) for x in args.draft_shape.split(","))
+    tcfg = _shape_cfg(base, *tshape)
+    dcfg = _shape_cfg(base, *dshape)
+    pair_desc = (f"{tcfg.num_layers}L-{tcfg.hidden_size}h-v{args.vocab} "
+                 f"target, {dcfg.num_layers}L-{dcfg.hidden_size}h "
+                 f"distilled draft")
     seq_len = args.seq_len
     data = corpus_from_reference(vocab_size=tcfg.vocab_size, seq_len=seq_len)
 
@@ -121,9 +134,10 @@ def main():
     tpath = f"{args.cache}_target.npz"
     dpath = f"{args.cache}_draft.npz"
     t_template = random_params(tcfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    d_template = random_params(dcfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     if _os.path.exists(tpath) and _os.path.exists(dpath):
         target = load_params(tpath, t_template)
-        draft = load_params(dpath, t_template)
+        draft = load_params(dpath, d_template)
         log("pair loaded from cache")
     else:
         t0 = time.perf_counter()
@@ -164,7 +178,7 @@ def main():
     eval_prompts = [np.asarray(row[:24], np.int32) for row in data[:P]]
     cal_prompts = [np.asarray(row[:24], np.int32) for row in data[P : P + 6]]
 
-    M = 384
+    M = max(384, 96 + 24 + args.gen_tokens + args.budget + args.max_depth)
 
     def run_engine(eng, prompts, gen, seed0):
         """Wall-clock generate over prompts via the reference protocol
@@ -284,8 +298,7 @@ def main():
             f"predicted {pred_ms_per_token:.3f} -> drift {drift:+.1f}%")
 
         out_e2e = {
-            "pair": "8L-256h-v512 target, 8L-256h distilled draft (f32, "
-                    "matmul precision highest)",
+            "pair": pair_desc + " (f32, matmul precision highest)",
             "protocol": "reference tests/testbed.py:88-94 wall-clock; all "
                         "quantities in this row are measured (prediction "
                         "made before the run from planned E x fused "
@@ -372,7 +385,7 @@ def main():
             f"tokens")
 
         out_greedy = {
-            "pair": "8L-256h-v512 target, 8L-256h distilled draft",
+            "pair": pair_desc,
             "greedy_vector_measured_head":
                 [round(float(v), 4) for v in gvec[:10]],
             "stochastic_vector_head_for_contrast":
@@ -431,7 +444,7 @@ def main():
             algo_row("sequoia", "sequoia", gm_f, f"tree:{d}x{b}")
 
         out_algos = {
-            "pair": "8L-256h-v512 target, 8L-256h distilled draft",
+            "pair": pair_desc,
             "prompts": P,
             "gen_tokens_per_prompt": args.gen_tokens,
             "temperature": 0.6, "top_p": 0.9,

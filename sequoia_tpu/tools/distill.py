@@ -98,7 +98,11 @@ def train_lm(
 
     if teacher is not None:
         t_params, t_cfg = teacher
-        t_fn = jax.jit(partial(_batch_logits, t_params, t_cfg))
+        # Teacher params must be a jit ARGUMENT: a closure bakes them into
+        # the program as constants, and a remote-compile tunnel rejects the
+        # multi-hundred-MB request body (HTTP 413) for teachers past ~100M
+        # params (same rule as bench.py's timing loops).
+        t_fn = jax.jit(lambda tp, batch: _batch_logits(tp, t_cfg, batch))
 
         def loss_fn(p, batch, tlogits, lmask):
             loss = distill_loss(p, cfg, tlogits, batch,
@@ -132,7 +136,8 @@ def train_lm(
             lmask = jnp.asarray(lmask)
         else:
             lmask = None
-        tlogits = t_fn(batch) if teacher is not None else jnp.zeros(())
+        tlogits = (t_fn(t_params, batch) if teacher is not None
+                   else jnp.zeros(()))
         params, opt_state, loss = step(params, opt_state, batch, tlogits,
                                        lmask)
     return params

@@ -239,47 +239,98 @@ def main():
             _os.path.dirname(_os.path.abspath(__file__)), ".."))
         bench = importlib.import_module("bench")
 
-        eng = SpecEngine(draft, dcfg, target, tcfg, gm, algorithm="sequoia",
-                         max_length=M, temperature=0.6, top_p=0.9,
-                         prefill_chunk=32)
+        # Fixed token budget, reference-benchmark regime: stop tokens off so
+        # every prompt generates exactly `gen` tokens (the v2 run's early
+        # stops broke the per-call fixed-cost amortization the prediction
+        # assumed — 89 realized tokens against a 192-token budget).
+        tcfg_e = dataclasses.replace(tcfg, stop_tokens=())
+        dcfg_e = dataclasses.replace(dcfg, stop_tokens=())
+        # Regime-matched calibration: acceptance in the no-stop fixed-budget
+        # regime runs HIGHER than the natural-text regime the shared vector
+        # was measured in (unstopped generation drifts toward repetitive,
+        # highly draft-predictable text — the v3 run realized E 7.45
+        # against a natural-regime plan of 5.80, -10.4% ms/token drift).
+        # The probe-tree calibration exists exactly to absorb regime bias:
+        # re-measure the depth-6 probe with the e2e configs and recalibrate.
+        eng_ce = SpecEngine(draft, dcfg_e, target, tcfg_e, gm_probe,
+                            algorithm="sequoia", max_length=M,
+                            temperature=0.6, top_p=0.9, prefill_chunk=32)
+        em_e = st_e = 0
+        for i, pr in enumerate(cal_prompts):
+            eng_ce.generate_fast(pr, max_new_tokens=args.gen_tokens,
+                                 seed=550 + i)
+            em_e += eng_ce.num_decoding_steps
+            st_e += eng_ce.num_large_model_steps
+        e_probe_e2e = em_e / max(st_e, 1)
+        vec_e2e, scale_e2e = calibrate_vector(vec, gm_probe, e_probe_e2e)
+        gm_e, _ = plan(vec_e2e, budgets, tt, 0.005,
+                       max_depth=args.max_depth, max_branch=16)
+        e_planned = float(expected_accepted(gm_e, vec_e2e))
+        log(f"e2e regime probe: {e_probe_e2e:.3f} accepted/step -> scale "
+            f"x{scale_e2e:.3f}; re-planned size={gm_e.size} "
+            f"depth={int(gm_e.depth.max())} E={e_planned:.3f}")
+        del eng_ce
+        eng = SpecEngine(draft, dcfg_e, target, tcfg_e, gm_e,
+                         algorithm="sequoia", max_length=M, temperature=0.6,
+                         top_p=0.9, prefill_chunk=32)
         state = eng.prefill(eval_prompts[0])
         t_iter = bench._fused_iter_time(eng, state, reps=24)
+        del state
         asym_ms_per_token = t_iter / e_planned * 1e3
 
-        # Per-call fixed cost (prefill dispatches + the tunnel round-trip
-        # the final device_get pays), measured on a DISJOINT warm prompt:
-        # generate_fast with a 1-token budget minus one iteration. For this
-        # tiny pair the fixed cost is comparable to the whole decode, so
-        # the wall-clock prediction must carry it explicitly — every term
-        # below is measured BEFORE the timed run.
+        # PRE-RUN measured cost model, every term from a DISJOINT warm
+        # prompt: per-step cost of the PRODUCTION device loop (differenced
+        # between two generation budgets — the fused fori estimator
+        # understates it by the while-loop's per-trip machinery, ~0.3 ms
+        # here, which is 1.5% noise at 7B scale but 15%+ on a 2 ms tiny-
+        # pair iteration) and the per-call fixed cost (prefill dispatches
+        # + the tunnel round-trip of the final fetch).
         warm = np.asarray(data[P + 6][:24], np.int32)
-        ar = ARBaseline(target, tcfg, max_length=M, temperature=0.6,
+        ar = ARBaseline(target, tcfg_e, max_length=M, temperature=0.6,
                         top_p=0.9, prefill_chunk=32)
         ar.generate_fast(warm, max_new_tokens=4)      # compile
         eng.generate_fast(warm, max_new_tokens=4)     # compile
         t_ar_step = bench._ar_step_time(ar, warm)
-
-        def call_fixed(e):
-            ts = []
-            for r in range(5):
-                t0 = time.perf_counter()
-                e.generate_fast(warm, max_new_tokens=1, seed=50 + r)
-                ts.append(time.perf_counter() - t0)
-            return float(np.median(ts))
-
-        fixed_spec = max(call_fixed(eng) - t_iter, 0.0)
-        fixed_ar = max(call_fixed(ar) - t_ar_step, 0.0)
         gen = args.gen_tokens
+
+        def prod_costs(e, budget_lo, budget_hi):
+            """(per-step production-loop cost, per-call fixed cost) by
+            differencing two budgets through generate_fast; median of 3.
+            AR has no step counter — its steps == produced tokens."""
+            wlen = len(warm)
+
+            def run(budget, seed):
+                t0 = time.perf_counter()
+                out = e.generate_fast(warm, max_new_tokens=budget, seed=seed)
+                dt = time.perf_counter() - t0
+                steps = (e.num_large_model_steps
+                         if hasattr(e, "num_large_model_steps")
+                         else len(np.asarray(out)) - wlen)
+                return dt, steps
+
+            per_step, fixed = [], []
+            for r in range(3):
+                t_lo, s_lo = run(budget_lo, 60 + r)
+                t_hi, s_hi = run(budget_hi, 80 + r)
+                ps = (t_hi - t_lo) / max(s_hi - s_lo, 1)
+                per_step.append(ps)
+                fixed.append(max(t_lo - s_lo * ps, 0.0))
+            return float(np.median(per_step)), float(np.median(fixed))
+
+        t_step_spec, fixed_spec = prod_costs(eng, max(gen // 4, 8), gen)
+        t_step_ar, fixed_ar = prod_costs(ar, max(gen // 4, 8), gen)
         steps_pp = int(np.ceil(gen / e_planned))
-        pred_spec_wall = P * (fixed_spec + steps_pp * t_iter)
-        pred_ar_wall = P * (fixed_ar + gen * t_ar_step)
+        pred_spec_wall = P * (fixed_spec + steps_pp * t_step_spec)
+        pred_ar_wall = P * (fixed_ar + gen * t_step_ar)
         pred_ms_per_token = pred_spec_wall / (P * gen) * 1e3
         pred_ar_ms = pred_ar_wall / (P * gen) * 1e3
-        log(f"PREDICTION: iter {t_iter * 1e3:.3f} ms, E {e_planned:.3f}, "
+        log(f"PREDICTION: fused iter {t_iter * 1e3:.3f} ms, production "
+            f"step {t_step_spec * 1e3:.3f} ms, E {e_planned:.3f}, "
             f"fixed/call spec {fixed_spec * 1e3:.1f} ms ar "
-            f"{fixed_ar * 1e3:.1f} ms -> spec {pred_ms_per_token:.3f} "
-            f"ms/token (asymptotic {asym_ms_per_token:.3f}), "
-            f"ar {pred_ar_ms:.3f} ms/token")
+            f"{fixed_ar * 1e3:.1f} ms (ar step {t_ar_step * 1e3:.3f} fori "
+            f"vs {t_step_ar * 1e3:.3f} production) -> spec "
+            f"{pred_ms_per_token:.3f} ms/token (asymptotic "
+            f"{asym_ms_per_token:.3f}), ar {pred_ar_ms:.3f} ms/token")
 
         # ---- measured AR wall-clock ----------------------------------
         ar_em, ar_st, ar_t = run_engine(ar, eval_prompts, gen, 100)
@@ -301,13 +352,25 @@ def main():
             "pair": pair_desc + " (f32, matmul precision highest)",
             "protocol": "reference tests/testbed.py:88-94 wall-clock; all "
                         "quantities in this row are measured (prediction "
-                        "made before the run from planned E x fused "
-                        "iteration time)",
-            "tree_size": gm.size,
-            "tree_depth": int(gm.depth.max()),
+                        "made before the run from planned E + production-"
+                        "loop step cost + per-call fixed cost, each "
+                        "measured on a disjoint warm prompt); fixed token "
+                        "budget (stop tokens off), the reference benchmark "
+                        "regime. fused_vs_production_gap_ms is the while-"
+                        "loop machinery the fused estimator understates — "
+                        "~1.5% at 7B iteration times, material only at "
+                        "this tiny pair's scale",
+            "tree_size": gm_e.size,
+            "tree_depth": int(gm_e.depth.max()),
+            "regime_probe_accepted_per_step": round(e_probe_e2e, 3),
+            "regime_calibration_scale": round(scale_e2e, 4),
             "planned_expected_accepted": round(e_planned, 3),
             "fused_iteration_ms": round(t_iter * 1e3, 3),
-            "ar_step_ms": round(t_ar_step * 1e3, 3),
+            "production_step_ms": round(t_step_spec * 1e3, 3),
+            "fused_vs_production_gap_ms": round(
+                (t_step_spec - t_iter) * 1e3, 3),
+            "ar_step_fori_ms": round(t_ar_step * 1e3, 3),
+            "ar_step_production_ms": round(t_step_ar * 1e3, 3),
             "per_call_fixed_ms": {"spec": round(fixed_spec * 1e3, 1),
                                   "ar": round(fixed_ar * 1e3, 1)},
             "asymptotic_ms_per_token": round(asym_ms_per_token, 3),

@@ -170,6 +170,7 @@ def main():
     cells = []
     device_vs_host = []
     for B in [int(b) for b in args.batches.split(",")]:
+      try:
         beng, are, bgm, t_iter, e_b, ar_step = measure_policy_inputs(B)
         mode = choose_serving_mode(t_iter, e_b, ar_step)
         log(f"B={B}: tree S={bgm.size} E={e_b:.2f} spec {t_iter*1e3:.2f} ms "
@@ -179,6 +180,13 @@ def main():
             q = mixed_queue(B)
             beng.serve_fast(q, max_new_tokens=4)   # warm spec path (+refill)
             are.serve_fast(q, max_new_tokens=4)    # warm ar path
+            # serve_auto itself once untimed: it routes to serve_device
+            # when prompts fit, whose one-dispatch program is NOT warmed by
+            # serve_fast (first matrix run paid a ~12 s compile inside the
+            # timed call and read 57 tok/s).
+            beng.serve_auto(q, spec_iter_s=t_iter, ar_step_s=ar_step,
+                            expected_accepted=e_b, ar_engine=are,
+                            max_new_tokens=1)
             t0 = time.perf_counter()
             beng.serve_auto(q, spec_iter_s=t_iter, ar_step_s=ar_step,
                             expected_accepted=e_b, ar_engine=are,
@@ -234,9 +242,12 @@ def main():
                 "ratio": round(dev_tok_s / host_tok_s, 3),
             })
         del beng, are
-        import gc
-        jax.clear_caches()
-        gc.collect()
+      except Exception as e:
+        log(f"B={B} cell failed: {type(e).__name__}: {str(e)[:140]}")
+        cells.append({"batch": B, "error": f"{type(e).__name__}"})
+      import gc
+      jax.clear_caches()
+      gc.collect()
 
     # Degraded-tree cell: a mis-planned deep chain at B=32 — the spec branch
     # should LOSE to batched AR and the policy must flip.
@@ -248,6 +259,8 @@ def main():
     beng.serve_fast(q, max_new_tokens=4)
     are.serve_fast(q, max_new_tokens=4)
     gen = 64
+    beng.serve_auto(q, spec_iter_s=t_iter, ar_step_s=ar_step,
+                    expected_accepted=e_b, ar_engine=are, max_new_tokens=1)
     t0 = time.perf_counter()
     beng.serve_auto(q, spec_iter_s=t_iter, ar_step_s=ar_step,
                     expected_accepted=e_b, ar_engine=are, max_new_tokens=gen)

@@ -124,7 +124,15 @@ def main():
         f"t({b})={t * 1e3:.2f}ms" for b, t in zip(budgets, target_time)))
 
     p = default_acceptance_vector()
-    draft_time = 0.15e-3
+    # MEASURE the draft level cost — the 0.15 ms constant from the 68m
+    # pairs mis-plans big drafts badly (a llama-3.2-1b level costs ~2.5 ms;
+    # the DP then picked depth-7 trees whose grow phase alone was 18 ms).
+    from sequoia_tpu.planner.profile import time_forward_widths
+
+    draft_time = time_forward_widths(
+        dparams, dcfg, (4,), max_length=M, kv_len=args.prefix_len,
+        reps=24)[0]
+    log(f"measured draft level cost: {draft_time * 1e3:.3f} ms")
 
     # ---- candidate trees: forced caps, both branch caps ------------------
     cands = {}

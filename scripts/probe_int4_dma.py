@@ -47,7 +47,7 @@ def main():
         h = ((packed << 24) >> 28).astype(jnp.float32)
         touch = (jnp.sum(l[:1, :]) + jnp.sum(h[:1, :])
                  + jnp.sum(x_lo_ref[:1, :1]) + jnp.sum(x_hi_ref[:1, :1]))
-        acc_ref[0, 0] += touch
+        acc_ref[...] += touch  # broadcast into the tile (no scalar stores)
 
         @pl.when(pl.program_id(1) == k_tiles - 1)
         def _done():

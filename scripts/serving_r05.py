@@ -129,6 +129,27 @@ def main():
             samples.append((tl - ts) / (R - r1))
         samples.sort()
         t_iter = samples[1]
+
+        # REALIZED accepted/step on this pair, measured on-device (the
+        # first matrix run fed the bundled vector's E=2.73 to the policy —
+        # exactly the mis-routing serve_auto's contract forbids: the
+        # random-weight pair realizes ~1.35, so the policy called spec in
+        # every cell while AR won every measurement). Count emitted over a
+        # short run of the real vmapped iteration.
+        @jax.jit
+        def count_emitted(n, dp, tp, st):
+            def body(i, carry):
+                s, acc = carry
+                s2, stats = vit(dp, tp, s)
+                s2 = s2._replace(gtl=st.gtl, terminal=st.terminal)
+                return (s2, acc + stats.emitted.sum())
+            return jax.lax.fori_loop(
+                0, n, body, (st, jnp.asarray(0, jnp.int32)))[1]
+
+        n_e = 24
+        e_real = float(count_emitted(
+            jnp.asarray(n_e, jnp.int32), dparams, tparams, bstate)) / (
+                n_e * B)
         del bstate
 
         are = BatchedAREngine(tparams, tcfg, batch_size=B, max_length=M,
@@ -159,8 +180,8 @@ def main():
             asamples.append((time.perf_counter() - t0) / R)
         asamples.sort()
         del ar_st
-        return beng, are, bgm, t_iter, float(expected_accepted(bgm, p)), \
-            asamples[1]
+        return (beng, are, bgm, t_iter, e_real,
+                float(expected_accepted(bgm, p)), asamples[1])
 
     def mixed_queue(B):
         lens = [32, 64, 96]
@@ -171,9 +192,11 @@ def main():
     device_vs_host = []
     for B in [int(b) for b in args.batches.split(",")]:
       try:
-        beng, are, bgm, t_iter, e_b, ar_step = measure_policy_inputs(B)
+        (beng, are, bgm, t_iter, e_b, e_vec,
+         ar_step) = measure_policy_inputs(B)
         mode = choose_serving_mode(t_iter, e_b, ar_step)
-        log(f"B={B}: tree S={bgm.size} E={e_b:.2f} spec {t_iter*1e3:.2f} ms "
+        log(f"B={B}: tree S={bgm.size} E_realized={e_b:.2f} (vector claims "
+            f"{e_vec:.2f}) spec {t_iter*1e3:.2f} ms "
             f"({B*e_b/t_iter:.0f} tok/s) vs AR {ar_step*1e3:.2f} ms "
             f"({B/ar_step:.0f} tok/s) -> policy {mode}")
         for gen in [int(g) for g in args.gens.split(",")]:
@@ -213,6 +236,8 @@ def main():
                 f"(policy {'agrees' if winner == picked else 'DISAGREES'})")
             cells.append({
                 "batch": B, "gen": gen, "queue": len(q),
+                "realized_accepted_per_step": round(e_b, 3),
+                "vector_claimed_accepted": round(e_vec, 3),
                 "policy_mode": picked,
                 "serve_auto_tokens_per_sec": round(auto_tok_s, 1),
                 "spec_tokens_per_sec": round(spec_tok_s, 1),
@@ -252,8 +277,8 @@ def main():
     # Degraded-tree cell: a mis-planned deep chain at B=32 — the spec branch
     # should LOSE to batched AR and the policy must flip.
     B = 32
-    beng, are, bgm, t_iter, e_b, ar_step = measure_policy_inputs(
-        B, gm_override=chain(12))
+    (beng, are, bgm, t_iter, e_b, e_vec,
+     ar_step) = measure_policy_inputs(B, gm_override=chain(12))
     mode = choose_serving_mode(t_iter, e_b, ar_step)
     q = mixed_queue(B)
     beng.serve_fast(q, max_new_tokens=4)

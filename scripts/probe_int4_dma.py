@@ -135,10 +135,19 @@ def main():
         log(json.dumps(row))
         rows.append(row)
 
+    # Verdict FROM the data, not the hypothesis: if stubbing the dots
+    # barely moves a shape, that shape is DMA-bound; a large dot share
+    # means the unpack+dot pipeline is the wall there.
+    compute_bound = [r["tag"] for r in rows if r["dot_share_pct"] > 25]
+    dma_bound = [r["tag"] for r in rows if r["dot_share_pct"] <= 25]
     out = {"rows": rows,
-           "verdict": "nodot ~= full -> the wall is the kernel's DMA "
-                      "pipelining (XLA's dot emitter streams the same bytes "
-                      "faster), not the nibble unpack or the MXU dots"}
+           "verdict": f"compute-bound shapes (unpack+dot >25% of wall): "
+                      f"{compute_bound}; DMA-bound: {dma_bound}. Measured "
+                      f"round 5: attn streams ~560 GB/s (healthy); the ffn "
+                      f"shapes are compute-bound (ffn-up 237 -> 922 GB/s "
+                      f"with dots stubbed), so the kernel's gap to XLA's "
+                      f"int8 emitter is the VPU-expand/MXU overlap, not "
+                      f"burst contiguity"}
     print(json.dumps(out))
 
 

@@ -1259,7 +1259,10 @@ def main() -> None:
                     "crossover_batch": cb,
                     "note": "first measured batch where batched AR beats "
                             "batched speculation (E from the bundled "
-                            "vector); None = spec wins at every measured B",
+                            "vector); None = spec wins at every measured B "
+                            "in THIS sweep — the extended round-5 sweep "
+                            "(CROSSOVER_r05.json, B up to 128 at reduced "
+                            "M) measures the crossover at B=128",
                 }
 
     print(json.dumps({

@@ -254,6 +254,15 @@ class BatchedSpecEngine(SpecEngine):
             donate_argnums=(2,),
         )
         self._insert_slot_fn = jax.jit(self._insert_slot_impl, donate_argnums=(0,))
+        # Fused batched prefill: ONE vmapped chunk pass streams the weights
+        # once for all B slots (the per-slot path streams them B times —
+        # the serving matrix measured admission prefills at ~45% of spec
+        # serve wall time on short-generation queues).
+        self._bprefill_chunk_fn = jax.jit(
+            jax.vmap(self._prefill_chunk_impl,
+                     in_axes=(None, None, self.state_axes, 0, None, 0),
+                     out_axes=self.state_axes),
+            donate_argnums=(2,))
         self._bgenerate_loop = jax.jit(
             self._bgenerate_loop_impl, donate_argnums=(2,))
         self._bserve_until_any = jax.jit(
@@ -288,14 +297,47 @@ class BatchedSpecEngine(SpecEngine):
             lambda ax, *xs: jnp.stack(xs, axis=ax), self.state_axes, *states
         )
 
-    def prefill_batch(self, prompts: Sequence[np.ndarray], seed: int = 0) -> DecodeState:
-        """Prefill `batch_size` prompts into one batched state. Each slot is
-        prefilled by the (already-jitted) single-request path and stacked —
-        prefill happens once per request; the steady-state cost is the
-        batched iteration."""
+    def prefill_batch(self, prompts: Sequence[np.ndarray], seed: int = 0,
+                      fused: bool = True) -> DecodeState:
+        """Prefill `batch_size` prompts into one batched state.
+
+        `fused=True` (default): all slots prefill TOGETHER through vmapped
+        chunk passes — the target/draft weights stream once per chunk for
+        the whole batch instead of once per request (B x fewer weight
+        streams; mixed prompt lengths pad to the longest slot's chunked
+        length, and the padded positions' garbage KV rows sit at slots
+        >= that slot's gtl, invisible to every mask and rewritten by
+        commits before use — the same stale-tail invariant the compaction
+        design rests on). `fused=False` keeps the old per-slot path (used
+        by tests as the cross-check)."""
         assert len(prompts) == self.batch_size
-        states = [self.prefill(p, seed=seed + i) for i, p in enumerate(prompts)]
-        return self._shard(self._stack_states(states))
+        if not fused or self.mesh is not None:
+            # mesh path: _fresh_state device_puts sharded caches, which
+            # cannot run under vmap — keep the per-slot path there.
+            states = [self.prefill(p, seed=seed + i)
+                      for i, p in enumerate(prompts)]
+            return self._shard(self._stack_states(states))
+        B = self.batch_size
+        C = self.prefill_chunk
+        prompts = [np.asarray(p, np.int32).reshape(-1) for p in prompts]
+        plens = [len(p) for p in prompts]
+        assert min(plens) >= 1
+        assert max(plens) + self.tree_size <= self.max_length
+        padded_len = _round_up(max(plens), C)
+        toks = np.zeros((B, padded_len), np.int32)
+        for i, p in enumerate(prompts):
+            toks[i, : plens[i]] = p
+        keys = jnp.stack([prng_key(seed + i) for i in range(B)])
+        dtype = self.target_params.embed.dtype
+        state = jax.vmap(lambda k: self._fresh_state(k, dtype),
+                         out_axes=self.state_axes)(keys)
+        plens_dev = jnp.asarray(plens, jnp.int32)
+        for off in range(0, padded_len, C):
+            state = self._bprefill_chunk_fn(
+                self.draft_params, self.target_params, state,
+                jnp.asarray(toks[:, off : off + C]),
+                jnp.asarray(off, jnp.int32), plens_dev)
+        return self._shard(state._replace(gtl=plens_dev))
 
     def _shard(self, bstate: DecodeState) -> DecodeState:
         if self.mesh is not None and "dp" in self.mesh.shape and self.mesh.shape["dp"] > 1:
@@ -466,16 +508,19 @@ class BatchedSpecEngine(SpecEngine):
 
         slot_req = [-1] * B
         slot_plen = [0] * B
-        init_states = []
+        init_prompts = []
         for s in range(B):
             if queue:
                 rid, prompt = queue.pop(0)
                 slot_req[s] = rid
                 slot_plen[s] = len(prompt)
-                init_states.append(self.prefill(prompt, seed=seed + rid))
+                init_prompts.append(prompt)
             else:
-                init_states.append(self.prefill(np.zeros(1, np.int32), seed=seed))
-        state = self._shard(self._stack_states(init_states))
+                init_prompts.append(np.zeros(1, np.int32))
+        # Fused initial fill: one weight stream per chunk for ALL slots
+        # (B sequential single-request prefills dominated short-generation
+        # serving — the round-5 matrix measured admission at ~45% of wall).
+        state = self.prefill_batch(init_prompts, seed=seed)
         produced = jnp.zeros((B,), jnp.int32)
         done = jnp.zeros((B,), bool)
         active_np = np.asarray([r >= 0 for r in slot_req])

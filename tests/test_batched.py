@@ -312,3 +312,42 @@ def test_serve_device_int8_kv(models):
     for p, o in zip(prompts, outs):
         np.testing.assert_array_equal(o[: len(p)], p)
         assert len(p) <= len(o) <= len(p) + 8
+
+
+def test_fused_prefill_batch_matches_per_slot():
+    """`prefill_batch(fused=True)` (one vmapped weight stream per chunk for
+    all slots) must produce the same committed tokens / gtl / root logits /
+    committed-range KV as the per-slot path, including MIXED prompt lengths
+    (padded positions' garbage rows are invisible by the stale-tail
+    invariant)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sequoia_tpu.core.config import get_config
+    from sequoia_tpu.core.init import random_params
+    from sequoia_tpu.engine.batched import BatchedSpecEngine
+    from sequoia_tpu.trees.growmap import uniform_tree
+
+    cfg = get_config("test-tiny")
+    d = random_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    t = random_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    eng = BatchedSpecEngine(d, cfg, t, cfg, uniform_tree(2, 2),
+                            algorithm="sequoia", max_length=64,
+                            temperature=0.7, top_p=0.9, prefill_chunk=8,
+                            batch_size=3)
+    rng = np.random.default_rng(0)
+    lens = (5, 11, 17)
+    prompts = [rng.integers(5, cfg.vocab_size, size=n) for n in lens]
+    sf = eng.prefill_batch(prompts, seed=3, fused=True)
+    ss = eng.prefill_batch(prompts, seed=3, fused=False)
+    np.testing.assert_array_equal(np.asarray(sf.gtl), np.asarray(ss.gtl))
+    for i, n in enumerate(lens):
+        np.testing.assert_array_equal(np.asarray(sf.tokens)[i, :n],
+                                      np.asarray(ss.tokens)[i, :n])
+        np.testing.assert_allclose(
+            np.asarray(sf.root_draft_logits)[i],
+            np.asarray(ss.root_draft_logits)[i], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(sf.target_kv.k)[:, i, :n],
+            np.asarray(ss.target_kv.k)[:, i, :n], rtol=1e-4, atol=1e-4)

@@ -152,5 +152,79 @@ def load_hf_checkpoint(path: str, dtype=jnp.bfloat16):
     return params_from_hf_state_dict(cfg, sd, dtype=dtype), cfg
 
 
+def export_hf_checkpoint(params: LlamaParams, cfg: LlamaConfig,
+                         path: str) -> None:
+    """Inverse of `load_hf_checkpoint`: write `config.json` +
+    `model.safetensors` in HuggingFace Llama naming/orientation (Linear
+    weights `[out, in]` — the transposes mirror `params_from_hf_state_dict`).
+    Checkpoint interop becomes BOTH ways: locally-trained pairs
+    (tools/distill.py) run through the CLI's checkpoint path
+    (`cli/testbed.py --target-weights <dir>`), and exported models load in
+    HF `LlamaForCausalLM` (round-tripped in tests/test_hf_parity.py).
+    Float (unquantized, non-offloaded) params only."""
+    import json as _json
+    import os
+
+    import torch
+    from safetensors.torch import save_file
+
+    assert isinstance(params.layers, LayerParams), \
+        "export needs plain float LayerParams (dequantize / un-offload first)"
+    os.makedirs(path, exist_ok=True)
+
+    def t(x, transpose=False):
+        a = np.asarray(jax.device_get(x), np.float32)
+        if transpose:
+            a = a.T
+        return torch.from_numpy(np.ascontiguousarray(a))
+
+    lp = params.layers
+    sd = {
+        "model.embed_tokens.weight": t(params.embed),
+        "model.norm.weight": t(params.final_norm),
+    }
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        sd[f"{p}.input_layernorm.weight"] = t(lp.attn_norm[i])
+        sd[f"{p}.self_attn.q_proj.weight"] = t(lp.wq[i], transpose=True)
+        sd[f"{p}.self_attn.k_proj.weight"] = t(lp.wk[i], transpose=True)
+        sd[f"{p}.self_attn.v_proj.weight"] = t(lp.wv[i], transpose=True)
+        sd[f"{p}.self_attn.o_proj.weight"] = t(lp.wo[i], transpose=True)
+        sd[f"{p}.post_attention_layernorm.weight"] = t(lp.mlp_norm[i])
+        sd[f"{p}.mlp.gate_proj.weight"] = t(lp.w_gate[i], transpose=True)
+        sd[f"{p}.mlp.up_proj.weight"] = t(lp.w_up[i], transpose=True)
+        sd[f"{p}.mlp.down_proj.weight"] = t(lp.w_down[i], transpose=True)
+    if not cfg.tie_word_embeddings:
+        sd["lm_head.weight"] = t(params.lm_head, transpose=True)
+    save_file(sd, os.path.join(path, "model.safetensors"))
+
+    cfg_d = {
+        "architectures": ["LlamaForCausalLM"],
+        "model_type": "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "torch_dtype": "float32",
+    }
+    if cfg.rope_scaling_factor is not None:
+        cfg_d["rope_scaling"] = {
+            "rope_type": "llama3",
+            "factor": cfg.rope_scaling_factor,
+            "low_freq_factor": cfg.rope_scaling_low_freq_factor,
+            "high_freq_factor": cfg.rope_scaling_high_freq_factor,
+            "original_max_position_embeddings":
+                cfg.rope_scaling_original_max_position,
+        }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        _json.dump(cfg_d, f, indent=1)
+
+
 def param_count(params: LlamaParams) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

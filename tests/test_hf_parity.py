@@ -115,3 +115,41 @@ def test_sharded_checkpoint_load(tmp_path):
     params, cfg = load_hf_checkpoint(path, dtype=jnp.float32)
     ref_embed = model.model.embed_tokens.weight.detach().numpy()
     np.testing.assert_allclose(np.asarray(params.embed), ref_embed, rtol=1e-6, atol=1e-6)
+
+
+def test_export_hf_checkpoint_roundtrip(tmp_path):
+    """export_hf_checkpoint -> load_hf_checkpoint reproduces the exact
+    params, and the exported directory loads in HF LlamaForCausalLM with
+    logits parity — checkpoint interop works BOTH ways (locally-trained
+    pairs can run through the CLI's --target-weights path)."""
+    from transformers import LlamaForCausalLM
+
+    from sequoia_tpu.core.config import get_config
+    from sequoia_tpu.core.init import export_hf_checkpoint, random_params
+
+    cfg = get_config("test-tiny")
+    params = random_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    path = str(tmp_path / "export")
+    export_hf_checkpoint(params, cfg, path)
+
+    back, cfg2 = load_hf_checkpoint(path, dtype=jnp.float32)
+    assert cfg2.hidden_size == cfg.hidden_size
+    assert cfg2.num_layers == cfg.num_layers
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=0)
+
+    # HF side: the exported dir is a valid from_pretrained checkpoint.
+    model = LlamaForCausalLM.from_pretrained(path)
+    model.eval()
+    tokens = np.array([3, 17, 9, 25, 1], np.int32)
+    with torch.no_grad():
+        hf_logits = model(torch.tensor(tokens[None].astype(np.int64))
+                          ).logits[0].float().numpy()
+    T = len(tokens)
+    kv = KVCache.init(cfg, T, jnp.float32)
+    ours, _ = forward(params, cfg, jnp.asarray(tokens),
+                      jnp.arange(T, dtype=jnp.int32), kv, 0,
+                      masks.causal_mask(T, T, 0))
+    np.testing.assert_allclose(np.asarray(ours), hf_logits,
+                               rtol=2e-4, atol=2e-4)

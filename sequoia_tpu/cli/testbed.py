@@ -160,6 +160,12 @@ def main(argv=None) -> None:
                          "(tests/run_sequoia.py --staylayer)")
     ap.add_argument("--seed", type=int, default=17)
     ap.add_argument("--device-loop", action="store_true", default=True)
+    ap.add_argument("--trace", default="",
+                    help="capture a jax.profiler trace of the measured "
+                         "loop into this directory (TensorBoard / xprof "
+                         "format; the reference's benchmark=True timers "
+                         "give phase sums — the trace gives the full "
+                         "device timeline)")
     args = ap.parse_args(argv)
 
     from ..engine.baseline import ARBaseline
@@ -179,6 +185,17 @@ def main(argv=None) -> None:
     prompts = load_prompts(args.prompts, target_cfg.vocab_size, args.seed,
                            prefill_len=args.S)
     prompts = prompts[args.start : args.end]
+
+    import contextlib
+
+    trace_stack = contextlib.ExitStack()
+    if args.trace:
+        import jax
+
+        try:
+            trace_stack.enter_context(jax.profiler.trace(args.trace))
+        except Exception as e:  # pragma: no cover - backend-dependent
+            print(f"[trace disabled: {type(e).__name__}: {e}]")
 
     total_tokens = 0
     total_steps = 0
@@ -235,6 +252,10 @@ def main(argv=None) -> None:
             print("phase breakdown (ms per target step):")
             for k, v in phase_totals.items():
                 print(f"  {k}: {v / total_steps * 1e3:.2f}")
+
+    trace_stack.close()  # flush the profiler trace before reporting
+    if args.trace:
+        print(f"[trace written to {args.trace}]")
 
     # Reference metric block (tests/testbed.py:94).
     print(f"total time: {t_total:.3f}s")

@@ -163,3 +163,37 @@ def test_tiled_70b_tp8_shard_shapes():
         assert (n_out // 128) % 8 == 0, n_out
     for k_in in (H * D, F):                  # wo / w_down packed K rows
         assert (k_in // 2) % 8 == 0, k_in
+
+
+def test_sharded_int4_kv_runs(models):
+    """int4 KV under TP with the head-paired packing: the packed head axis
+    (Hkv/2) shards over tp; adjacent pairing keeps pairs shard-local. Needs
+    (Hkv/2) % tp == 0, so use a 4-kv-head variant of the test config."""
+    import dataclasses
+
+    cfg4 = dataclasses.replace(CFG, num_heads=4, num_kv_heads=4)
+    draft = random_params(cfg4, jax.random.PRNGKey(0), dtype=jnp.float32)
+    target = random_params(cfg4, jax.random.PRNGKey(1), dtype=jnp.float32)
+    mesh = make_mesh(tp=2)
+    gm = uniform_tree(2, 2)
+    eng = SpecEngine(
+        draft, cfg4, shard_params(target, mesh), cfg4, gm,
+        algorithm="sequoia", max_length=96, temperature=0.8, top_p=0.9,
+        prefill_chunk=16, mesh=mesh, kv_quant="int4",
+    )
+    out = eng.generate(np.asarray([5, 6, 7, 8]), max_new_tokens=16)
+    assert len(out) > 4
+
+
+def test_int4_kv_cache_is_half_of_int8():
+    """Capacity regression guard: the packed int4 cache must occupy HALF
+    the int8 cache's bytes AND keep the minor dim at head_dim (the old
+    [.., Hkv, D/2] layout had a 64-lane minor dim that XLA's (32, 128) s8
+    tile padded 2x — 'int4' occupied exactly int8's HBM on device)."""
+    from sequoia_tpu.kvcache.cache import KVCache4, KVCache8
+
+    c8 = KVCache8.init(CFG, 64)
+    c4 = KVCache4.init(CFG, 64)
+    assert c4.k.nbytes * 2 == c8.k.nbytes
+    assert c4.k.shape[-1] == CFG.head_dim_          # full-lane minor dim
+    assert c4.k.shape[-2] == CFG.num_kv_heads // 2  # head pairs

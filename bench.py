@@ -553,7 +553,12 @@ def _crossover_sweep(args, draft_params, draft_cfg, target_params, target_cfg,
         _bl = jax.local_devices()[0].memory_stats().get("bytes_limit", 0)
     except Exception:
         _bl = 0
-    hbm_budget_gb = (_bl / 1e9) * 0.97 if _bl else 15.5
+    # 0.90 puts a true-v5e bytes_limit (16 GiB = 17.18e9 B) at the SAME
+    # 15.5 decimal-GB the 4.5 GB transient margin was calibrated against —
+    # a device-derived budget must not re-order the ladder on the very
+    # hardware the margin was measured on (reviewer r5: 0.97 would have
+    # predicted the B=64 int8 config fit and re-introduced the OOM-wedge).
+    hbm_budget_gb = (_bl / 1e9) * 0.90 if _bl else 15.5
 
     def kv_fits(B, kvq):
         """Conservative fit estimate: a failed attempt can leave the

@@ -189,11 +189,13 @@ def main(argv=None) -> None:
     import contextlib
 
     trace_stack = contextlib.ExitStack()
+    trace_active = False
     if args.trace:
         import jax
 
         try:
             trace_stack.enter_context(jax.profiler.trace(args.trace))
+            trace_active = True
         except Exception as e:  # pragma: no cover - backend-dependent
             print(f"[trace disabled: {type(e).__name__}: {e}]")
 
@@ -254,7 +256,7 @@ def main(argv=None) -> None:
                 print(f"  {k}: {v / total_steps * 1e3:.2f}")
 
     trace_stack.close()  # flush the profiler trace before reporting
-    if args.trace:
+    if trace_active:
         print(f"[trace written to {args.trace}]")
 
     # Reference metric block (tests/testbed.py:94).

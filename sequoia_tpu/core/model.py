@@ -216,7 +216,17 @@ def forward(
 
     quantized_kv = isinstance(kv, (KVCache8, KVCache4))
     int4_kv = isinstance(kv, KVCache4)
-    quantize_rows = quantize_kv_rows4 if int4_kv else quantize_kv_rows
+    # int4 packing is shape-inferred (kvcache/cache.py::KVCache4): "head"
+    # keeps the full head_dim minor dim, "dsplit" keeps the head axis
+    # intact for TP (and odd-head models).
+    kv4_packing = (("head" if kv.k.shape[-1] == D else "dsplit")
+                   if int4_kv else None)
+    if int4_kv:
+        import functools as _ft
+
+        quantize_rows = _ft.partial(quantize_kv_rows4, packing=kv4_packing)
+    else:
+        quantize_rows = quantize_kv_rows
 
     def layer_step(hidden, xs):
         if quantized_kv:
@@ -251,43 +261,64 @@ def forward(
         # GQA without materializing repeated KV heads.
         qg = q.reshape(Q, Hkv, G, D)
         if int4_kv:
-            # CONCAT-FREE int4 unpack over the head-paired packing
-            # (`kvcache/cache.py::KVCache4`): the packed byte at [m, j, d]
-            # holds head 2j (low nibble) and 2j+1 (high), so attention
-            # splits exactly into an even-head dot and an odd-head dot with
-            # the nibble extraction staying elementwise — XLA fuses it into
-            # each dot and the unpacked cache NEVER materializes. The
-            # original `unpack_kv_rows4` + concat formulation blocked that
-            # fusion at batch and the B=64 serving verify ran 104 ms/
-            # iteration (4x the B=32 row for 2x the batch, BENCH_r04
-            # crossover); concat-free re-measured 56.75 ms
-            # (scripts/probe_b64_int4.py, round 5). Head-pair packing also
-            # keeps the s8 minor dim at D=128 — the old [.., D/2] layout
-            # tile-padded 2x, making "int4" occupy int8's HBM. Per-row
-            # scales fold in exactly as in the int8 path (applied on the
-            # re-interleaved scores).
+            # CONCAT-FREE int4 unpack (`kvcache/cache.py::KVCache4`): the
+            # nibble extraction stays elementwise and fuses into each dot —
+            # the unpacked cache NEVER materializes. The original
+            # `unpack_kv_rows4` + concat formulation blocked that fusion at
+            # batch and the B=64 serving verify ran 104 ms/iteration (4x
+            # the B=32 row for 2x the batch, BENCH_r04 crossover);
+            # concat-free re-measured 49.6 ms (scripts/probe_b64_int4.py,
+            # round 5). Per-row scales fold in exactly as in the int8 path
+            # (applied on the re-assembled scores).
             k_lo = jnp.right_shift(jnp.left_shift(k_cache, 4), 4).astype(
-                hidden.dtype)                       # [M, Hkv/2, D] even heads
-            k_hi = jnp.right_shift(k_cache, 4).astype(hidden.dtype)  # odd
-            qg_e, qg_o = qg[:, 0::2], qg[:, 1::2]   # [Q, Hkv/2, G, D]
-            s_e = jnp.einsum("qhgd,mhd->hgqm", qg_e, k_lo,
-                             preferred_element_type=jnp.float32)
-            s_o = jnp.einsum("qhgd,mhd->hgqm", qg_o, k_hi,
-                             preferred_element_type=jnp.float32)
-            Mlen = s_e.shape[-1]
-            scores = jnp.stack([s_e, s_o], axis=1).reshape(
-                Hkv, G, Q, Mlen) * scale
-            scores = scores * ks_c.T[:, None, None, :]
-            scores = scores + bias[None, None, :, :]
+                hidden.dtype)
+            k_hi = jnp.right_shift(k_cache, 4).astype(hidden.dtype)
             v_lo = jnp.right_shift(jnp.left_shift(v_cache, 4), 4).astype(
                 hidden.dtype)
             v_hi = jnp.right_shift(v_cache, 4).astype(hidden.dtype)
-            v_scale = vs_c.T[:, None, None, :]
+            if kv4_packing == "head":
+                # [m, j, d] holds head 2j (low) / 2j+1 (high): attention
+                # splits into an even-head dot and an odd-head dot. The
+                # packed minor dim stays D=128 — the dsplit layout
+                # tile-pads 2x, making "int4" occupy int8's HBM.
+                qg_e, qg_o = qg[:, 0::2], qg[:, 1::2]   # [Q, Hkv/2, G, D]
+                s_e = jnp.einsum("qhgd,mhd->hgqm", qg_e, k_lo,
+                                 preferred_element_type=jnp.float32)
+                s_o = jnp.einsum("qhgd,mhd->hgqm", qg_o, k_hi,
+                                 preferred_element_type=jnp.float32)
+                Mlen = s_e.shape[-1]
+                scores = jnp.stack([s_e, s_o], axis=1).reshape(
+                    Hkv, G, Q, Mlen) * scale
 
-            def main_value_dot(pm):
-                a_e = jnp.einsum("hgqm,mhd->qhgd", pm[0::2], v_lo)
-                a_o = jnp.einsum("hgqm,mhd->qhgd", pm[1::2], v_hi)
-                return jnp.stack([a_e, a_o], axis=2).reshape(Q, Hkv, G, D)
+                def main_value_dot(pm):
+                    a_e = jnp.einsum("hgqm,mhd->qhgd", pm[0::2], v_lo)
+                    a_o = jnp.einsum("hgqm,mhd->qhgd", pm[1::2], v_hi)
+                    return jnp.stack([a_e, a_o], axis=2).reshape(
+                        Q, Hkv, G, D)
+            else:
+                # dsplit ([m, h, d] holds dim d low / D/2+d high): the
+                # score dot splits along the CONTRACTED d axis —
+                # q[..., :D/2] @ lo + q[..., D/2:] @ hi — and the value
+                # dot into two output halves. Head axis intact: this is
+                # the TP fallback when tp does not divide Hkv/2
+                # (llama-2-70b Hkv=8 under tp=8) and the odd-head path.
+                half = D // 2
+                scores = (jnp.einsum(
+                    "qhgd,mhd->hgqm", qg[..., :half], k_lo,
+                    preferred_element_type=jnp.float32,
+                ) + jnp.einsum(
+                    "qhgd,mhd->hgqm", qg[..., half:], k_hi,
+                    preferred_element_type=jnp.float32,
+                )) * scale
+
+                def main_value_dot(pm):
+                    return jnp.concatenate([
+                        jnp.einsum("hgqm,mhd->qhgd", pm, v_lo),
+                        jnp.einsum("hgqm,mhd->qhgd", pm, v_hi),
+                    ], axis=-1)
+            scores = scores * ks_c.T[:, None, None, :]
+            scores = scores + bias[None, None, :, :]
+            v_scale = vs_c.T[:, None, None, :]
         elif quantized_kv:
             # int8 rows cross HBM; the convert fuses into the dot (same as
             # weight-only quantization) and the per-row scales fold into

@@ -323,7 +323,9 @@ class BatchedSpecEngine(SpecEngine):
         plens = [len(p) for p in prompts]
         assert min(plens) >= 1
         assert max(plens) + self.tree_size <= self.max_length
-        padded_len = _round_up(max(plens), C)
+        # Cap coverage at max_length (same clamped-slice hazard as
+        # engine.prefill — see the comment there); tail chunk shrinks.
+        padded_len = min(_round_up(max(plens), C), self.max_length)
         toks = np.zeros((B, padded_len), np.int32)
         for i, p in enumerate(prompts):
             toks[i, : plens[i]] = p
@@ -332,11 +334,14 @@ class BatchedSpecEngine(SpecEngine):
         state = jax.vmap(lambda k: self._fresh_state(k, dtype),
                          out_axes=self.state_axes)(keys)
         plens_dev = jnp.asarray(plens, jnp.int32)
-        for off in range(0, padded_len, C):
+        off = 0
+        while off < max(plens):
+            c = min(C, padded_len - off)
             state = self._bprefill_chunk_fn(
                 self.draft_params, self.target_params, state,
-                jnp.asarray(toks[:, off : off + C]),
+                jnp.asarray(toks[:, off : off + c]),
                 jnp.asarray(off, jnp.int32), plens_dev)
+            off += c
         return self._shard(state._replace(gtl=plens_dev))
 
     def _shard(self, bstate: DecodeState) -> DecodeState:

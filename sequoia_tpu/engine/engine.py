@@ -152,6 +152,17 @@ class SpecEngine:
         # which rivals the weight stream at batch (and caps the batch that
         # fits in HBM). Draft KV stays float (it is tiny).
         self.kv_quant = None if kv_quant == "none" else kv_quant
+        # int4 packing: head-paired (capacity-true — full-lane minor dim)
+        # whenever it still SHARDS under the mesh; the dsplit layout keeps
+        # the kv-head axis intact for GQA targets at tp > Hkv/2
+        # (llama-2-70b Hkv=8 under tp=8 — reviewer r5) at the cost of 2x
+        # s8 tile padding. See kvcache/cache.py::KVCache4.
+        self._kv4_packing = "head"
+        if self.kv_quant == "int4":
+            Hkv = target_cfg.num_kv_heads
+            tp_sz = (mesh.shape.get("tp", 1) if mesh is not None else 1)
+            if Hkv % 2 != 0 or (Hkv // 2) % tp_sz != 0:
+                self._kv4_packing = "dsplit"
         if mesh is not None:
             from ..parallel.sharding import check_tp_divisibility
 
@@ -197,10 +208,13 @@ class SpecEngine:
         # with a bf16/quantized target must not inherit the target's dtype.
         draft_kv = KVCache.init(
             self.draft_cfg, self.max_length, self.draft_params.embed.dtype)
-        target_cache_cls = {
-            "int8": KVCache8, "int4": KVCache4, None: KVCache
-        }[self.kv_quant]
-        target_kv = target_cache_cls.init(self.target_cfg, self.max_length, kv_dtype)
+        if self.kv_quant == "int4":
+            target_kv = KVCache4.init(self.target_cfg, self.max_length,
+                                      kv_dtype, packing=self._kv4_packing)
+        else:
+            target_cache_cls = {"int8": KVCache8, None: KVCache}[self.kv_quant]
+            target_kv = target_cache_cls.init(
+                self.target_cfg, self.max_length, kv_dtype)
         if self.mesh is not None:
             from ..parallel.sharding import shard_kv
 
@@ -262,16 +276,24 @@ class SpecEngine:
         key = prng_key(seed)
         state = self._fresh_state(key, self.target_params.embed.dtype)
         C = self.prefill_chunk
-        padded_len = _round_up(plen, C)
+        # Chunk coverage is capped at max_length: writing a chunk whose end
+        # passes the buffer would make dynamic_update_slice CLAMP the start
+        # and silently shift-overwrite committed rows (possible whenever
+        # max_length is not a chunk multiple; reviewer r5). The tail chunk
+        # shrinks instead — each distinct size compiles once.
+        padded_len = min(_round_up(plen, C), self.max_length)
         padded = np.zeros(padded_len, np.int32)
         padded[:plen] = prompt
         plen_dev = jnp.asarray(plen, jnp.int32)
-        for off in range(0, padded_len, C):
+        off = 0
+        while off < plen:
+            c = min(C, padded_len - off)
             state = self._prefill_chunk_fn(
                 self.draft_params, self.target_params, state,
-                jnp.asarray(padded[off : off + C]), jnp.asarray(off, jnp.int32),
+                jnp.asarray(padded[off : off + c]), jnp.asarray(off, jnp.int32),
                 plen_dev,
             )
+            off += c
         return state._replace(gtl=plen_dev)
 
     # ------------------------------------------------------------------

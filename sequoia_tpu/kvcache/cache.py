@@ -121,19 +121,31 @@ class KVCache4(NamedTuple):
     re-measured at this precision (SURVEY.md §7.3, planner inputs are
     precision-dependent).
 
-    Packing: ADJACENT-HEAD pairs — the byte at `[m, j, d]` holds head `2j`'s
-    value d in the low nibble and head `2j+1`'s in the high nibble, so the
-    packed minor dimension stays the full `head_dim`. The earlier head_dim
-    half-split (`[.., Hkv, D/2]`) left a 64-wide s8 minor dim that XLA's
-    (32, 128) tile PADS 2x — the "int4" cache occupied exactly int8's HBM
-    (measured: B=96 x M=192 7B serving OOM'd on s8[32,96,192,32,64] temps
-    at 2.0x expansion, round 5). Head pairs keep lanes full at rest and in
-    compute (attention splits into even/odd-head dots, core/model.py), and
-    adjacent pairing keeps TP head-sharding local (pairs never straddle a
-    shard as long as Hkv/2 divides tp).
+    Two packings, distinguishable by shape (`shape[-1] == head_dim` <=>
+    head-paired); `init(packing=...)` selects, default "auto":
 
-    k/v:   int8 [L, M, Hkv/2, D] (two int4 per byte, head-paired)
-    ks/vs: f32  [L, M, Hkv]
+    - "head" (capacity-optimal, the auto default when Hkv is even): the
+      byte at `[m, j, d]` holds head `2j`'s value d in the low nibble and
+      head `2j+1`'s in the high nibble — the packed minor dimension stays
+      the full `head_dim`, so lanes are full at rest and in compute
+      (attention splits into even/odd-head dots, core/model.py). The
+      head_dim half-split leaves a 64-wide s8 minor dim that XLA's
+      (32, 128) tile PADS 2x — the "int4" cache occupied exactly int8's
+      HBM (measured: B=96 x M=192 7B serving OOM'd on
+      s8[32,96,192,32,64] temps at 2.0x expansion, round 5). Adjacent
+      pairing keeps TP head-sharding local — pairs never straddle a shard
+      PROVIDED tp divides Hkv/2.
+      k/v: int8 [L, M, Hkv/2, D]
+
+    - "dsplit" (TP/odd-head fallback): byte d holds row value d (low) and
+      D/2 + d (high) — the KV-HEAD axis stays intact, so GQA targets
+      shard at tp > Hkv/2 (llama-2-70b Hkv=8 under tp=8 — reviewer r5);
+      costs the 2x minor-dim tile padding on device.
+      k/v: int8 [L, M, Hkv, D/2]
+
+    ks/vs: f32 [L, M, Hkv] either way. The engine picks per mesh
+    (`SpecEngine._kv4_packing`): head when `(Hkv/2) % tp == 0`, else
+    dsplit.
     """
 
     k: jax.Array
@@ -146,11 +158,21 @@ class KVCache4(NamedTuple):
         return self.k.shape[1]
 
     @staticmethod
-    def init(cfg: LlamaConfig, max_length: int, dtype=None) -> "KVCache4":
-        assert cfg.num_kv_heads % 2 == 0, \
-            "int4 KV packs adjacent head pairs; needs an even kv-head count"
-        shape = (cfg.num_layers, max_length, cfg.num_kv_heads // 2,
-                 cfg.head_dim_)
+    def init(cfg: LlamaConfig, max_length: int, dtype=None,
+             packing: str = "auto") -> "KVCache4":
+        assert packing in ("auto", "head", "dsplit"), packing
+        if packing == "auto":
+            packing = "head" if cfg.num_kv_heads % 2 == 0 else "dsplit"
+        if packing == "head":
+            assert cfg.num_kv_heads % 2 == 0, \
+                "head-paired int4 KV needs an even kv-head count"
+            shape = (cfg.num_layers, max_length, cfg.num_kv_heads // 2,
+                     cfg.head_dim_)
+        else:
+            assert cfg.head_dim_ % 2 == 0, \
+                "dsplit int4 KV needs an even head_dim"
+            shape = (cfg.num_layers, max_length, cfg.num_kv_heads,
+                     cfg.head_dim_ // 2)
         sshape = (cfg.num_layers, max_length, cfg.num_kv_heads)
         return KVCache4(
             k=jnp.zeros(shape, jnp.int8),
@@ -159,11 +181,20 @@ class KVCache4(NamedTuple):
             vs=jnp.zeros(sshape, jnp.float32),
         )
 
+    @property
+    def packing(self) -> str:
+        # Shape-inferred: head-paired keeps the full head_dim minor dim,
+        # dsplit halves it; the scales' head axis is always full Hkv.
+        return "head" if self.k.shape[-2] * 2 == self.ks.shape[-1] else "dsplit"
+
     def commit_rows(self, scratch: "KVCache", src_slots: jax.Array,
                     dest_offset) -> "KVCache4":
         """int4 variant of `KVCache8.commit_rows` (pack at commit time)."""
-        gk, gks = quantize_kv_rows4(jnp.take(scratch.k, src_slots, axis=1))
-        gv, gvs = quantize_kv_rows4(jnp.take(scratch.v, src_slots, axis=1))
+        pk = self.packing
+        gk, gks = quantize_kv_rows4(
+            jnp.take(scratch.k, src_slots, axis=1), packing=pk)
+        gv, gvs = quantize_kv_rows4(
+            jnp.take(scratch.v, src_slots, axis=1), packing=pk)
         k = jax.lax.dynamic_update_slice(self.k, gk, (0, dest_offset, 0, 0))
         v = jax.lax.dynamic_update_slice(self.v, gv, (0, dest_offset, 0, 0))
         ks = jax.lax.dynamic_update_slice(self.ks, gks, (0, dest_offset, 0))
@@ -179,26 +210,35 @@ def quantize_kv_rows(x: jax.Array):
     return q, scale
 
 
-def quantize_kv_rows4(x: jax.Array):
-    """x: float [Q, Hkv, D] -> (packed int4 rows [Q, Hkv/2, D], f32 scales
-    [Q, Hkv]). Adjacent-head-pair packing (see `KVCache4`): low nibble =
-    head 2j, high nibble = head 2j+1. Scales stay per (row, head) — the
-    quantized VALUES are identical to the old head_dim-split layout, only
-    their arrangement changed, so acceptance/quality measurements carry
-    over."""
+def quantize_kv_rows4(x: jax.Array, packing: str = "head"):
+    """x: float [Q, Hkv, D] -> (packed int4 rows, f32 scales [Q, Hkv]).
+
+    `packing="head"`: [Q, Hkv/2, D], low nibble = head 2j, high = 2j+1.
+    `packing="dsplit"`: [Q, Hkv, D/2], low nibble = dim d, high = D/2+d.
+    Scales stay per (row, head) either way — the quantized VALUES are
+    identical across packings, only their arrangement differs, so
+    acceptance/quality measurements carry over."""
     xf = x.astype(jnp.float32)
     scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 7.0
     q = jnp.clip(jnp.round(xf / scale[..., None]), -7, 7).astype(jnp.int8)
-    lo = q[..., 0::2, :] & 0x0F
-    hi = q[..., 1::2, :] << 4
+    if packing == "head":
+        lo = q[..., 0::2, :] & 0x0F
+        hi = q[..., 1::2, :] << 4
+    else:
+        half = q.shape[-1] // 2
+        lo = q[..., :half] & 0x0F
+        hi = q[..., half:] << 4
     return (lo | hi).astype(jnp.int8), scale
 
 
-def unpack_kv_rows4(packed: jax.Array) -> jax.Array:
-    """packed int8 [..., Hkv/2, D] -> int8 values [..., Hkv, D]
-    (sign-extended, heads re-interleaved)."""
+def unpack_kv_rows4(packed: jax.Array, packing: str = "head") -> jax.Array:
+    """head: packed int8 [..., Hkv/2, D] -> values [..., Hkv, D]
+    (heads re-interleaved); dsplit: [..., Hkv, D/2] -> [..., Hkv, D].
+    Sign-extended either way."""
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # arithmetic: sign-extends
     hi = jnp.right_shift(packed, 4)
-    stacked = jnp.stack([lo, hi], axis=-2)              # [..., Hp, 2, D]
-    return stacked.reshape(*packed.shape[:-2], packed.shape[-2] * 2,
-                           packed.shape[-1])
+    if packing == "head":
+        stacked = jnp.stack([lo, hi], axis=-2)          # [..., Hp, 2, D]
+        return stacked.reshape(*packed.shape[:-2], packed.shape[-2] * 2,
+                               packed.shape[-1])
+    return jnp.concatenate([lo, hi], axis=-1)

@@ -75,3 +75,38 @@ def test_reference_growmap_library_loads_and_runs(tiny, path):
                      prefill_chunk=16)
     out = eng.generate(np.array([5, 9, 2]), max_new_tokens=4, seed=0)
     assert len(out) >= 4
+
+
+def test_prefill_tail_chunk_never_overruns_buffer():
+    """When round_up(plen, prefill_chunk) exceeds max_length (M not a chunk
+    multiple), the tail chunk must SHRINK: a full-size chunk would make
+    dynamic_update_slice clamp its start and silently shift-overwrite
+    committed rows (reviewer r5). Uses M=100, C=64, plen=84 ->
+    round_up=128 > 100, tail chunk of 36."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sequoia_tpu.core.config import get_config
+    from sequoia_tpu.core.init import random_params
+    from sequoia_tpu.engine.engine import SpecEngine
+    from sequoia_tpu.trees.growmap import uniform_tree
+
+    cfg = get_config("test-tiny")
+    draft = random_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    target = random_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    gm = uniform_tree(2, 2)  # size 7
+    eng = SpecEngine(draft, cfg, target, cfg, gm, algorithm="sequoia",
+                     max_length=100, temperature=0.7, top_p=0.9,
+                     prefill_chunk=64)
+    prompt = (np.arange(7, 7 + 84) % cfg.vocab_size).astype(np.int32)
+    out = eng.generate(prompt, max_new_tokens=8, seed=0)
+    np.testing.assert_array_equal(out[:84], prompt)
+    # And the committed prefix must match a small-chunk engine's exactly
+    # (same tokens regardless of chunking).
+    eng2 = SpecEngine(draft, cfg, target, cfg, gm, algorithm="sequoia",
+                      max_length=100, temperature=0.7, top_p=0.9,
+                      prefill_chunk=16)
+    out2 = eng2.generate(prompt, max_new_tokens=8, seed=0)
+    n = min(len(out), len(out2))
+    np.testing.assert_array_equal(out[:n], out2[:n])

@@ -136,3 +136,42 @@ def test_engine_runs_with_kv_quant(model, algo, kv_quant):
     assert len(out) > len(prompt)
     np.testing.assert_array_equal(out[: len(prompt)], prompt)
     assert eng.num_large_model_steps > 0
+
+
+def test_pack_unpack_int4_dsplit_exact():
+    """The dsplit packing (TP/odd-head fallback) round-trips exactly."""
+    rng = np.random.default_rng(4)
+    x = rng.integers(-7, 8, size=(4, 3, 16)).astype(np.float32)
+    x[..., 0] = 7.0
+    packed, scale = quantize_kv_rows4(jnp.asarray(x), packing="dsplit")
+    assert packed.shape == (4, 3, 8) and packed.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(scale), 1.0)
+    back = np.asarray(unpack_kv_rows4(packed, packing="dsplit"), np.float32)
+    np.testing.assert_array_equal(back, x)
+
+
+def test_int4_kv_packings_same_generation():
+    """Engine decode with head-paired vs dsplit int4 KV must emit the same
+    tokens (same quantized VALUES, different arrangement) — the packing is
+    a layout choice, not a numerics choice."""
+    import jax
+
+    from sequoia_tpu.core.config import get_config
+    from sequoia_tpu.core.init import random_params
+    from sequoia_tpu.engine.engine import SpecEngine
+    from sequoia_tpu.trees.growmap import uniform_tree
+
+    cfg = get_config("test-tiny")
+    draft = random_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    target = random_params(cfg, jax.random.PRNGKey(8), dtype=jnp.float32)
+    prompt = np.array([11, 23, 5, 99, 42, 7])
+    gm = uniform_tree(2, 2)
+    outs = {}
+    for packing in ("head", "dsplit"):
+        eng = SpecEngine(draft, cfg, target, cfg, gm, algorithm="sequoia",
+                         max_length=96, temperature=0.7, top_p=0.9,
+                         prefill_chunk=16, kv_quant="int4")
+        eng._kv4_packing = packing
+        outs[packing] = np.asarray(
+            eng.generate(prompt, max_new_tokens=20, seed=0))
+    np.testing.assert_array_equal(outs["head"], outs["dsplit"])

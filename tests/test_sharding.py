@@ -165,22 +165,26 @@ def test_tiled_70b_tp8_shard_shapes():
         assert (k_in // 2) % 8 == 0, k_in
 
 
-def test_sharded_int4_kv_runs(models):
-    """int4 KV under TP with the head-paired packing: the packed head axis
-    (Hkv/2) shards over tp; adjacent pairing keeps pairs shard-local. Needs
-    (Hkv/2) % tp == 0, so use a 4-kv-head variant of the test config."""
+@pytest.mark.parametrize("tp,expected_packing", [(2, "head"), (4, "dsplit")])
+def test_sharded_int4_kv_runs(tp, expected_packing):
+    """int4 KV under TP: head-paired packing shards the packed (Hkv/2) axis
+    when tp divides it; otherwise the engine falls back to the dsplit
+    layout whose kv-head axis stays intact (the GQA-at-high-tp case, e.g.
+    llama-2-70b Hkv=8 under tp=8 — reviewer r5). 4 kv heads: tp=2 keeps
+    head pairing (2 packed heads / 2 shards), tp=4 must fall back."""
     import dataclasses
 
     cfg4 = dataclasses.replace(CFG, num_heads=4, num_kv_heads=4)
     draft = random_params(cfg4, jax.random.PRNGKey(0), dtype=jnp.float32)
     target = random_params(cfg4, jax.random.PRNGKey(1), dtype=jnp.float32)
-    mesh = make_mesh(tp=2)
+    mesh = make_mesh(tp=tp)
     gm = uniform_tree(2, 2)
     eng = SpecEngine(
         draft, cfg4, shard_params(target, mesh), cfg4, gm,
         algorithm="sequoia", max_length=96, temperature=0.8, top_p=0.9,
         prefill_chunk=16, mesh=mesh, kv_quant="int4",
     )
+    assert eng._kv4_packing == expected_packing
     out = eng.generate(np.asarray([5, 6, 7, 8]), max_new_tokens=16)
     assert len(out) > 4
 

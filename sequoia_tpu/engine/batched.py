@@ -616,12 +616,23 @@ class BatchedSpecEngine(SpecEngine):
         self.serving_mode = choose_serving_mode(
             spec_iter_s, expected_accepted, ar_step_s)
         if self.serving_mode == "spec":
-            # Prefer the one-dispatch device-resident loop; fall back to the
-            # host-scheduled loop when a prompt can't clear serve_device's
-            # tail-reserve constraint.
+            # Device-loop routing (measured, SERVE_DEVICE_r05.json): the
+            # one-dispatch loop wins on uniform-length queues (1.14x the
+            # host-scheduled loop at B=32, 7B-int8) and is near-parity on
+            # mixed lengths at B<=16 (0.89x), but its per-completion-wave
+            # outer-loop transition re-stages the batched KV cache, and
+            # mixed traffic staggers completions into ~one wave per
+            # request — measured 0.65x host at B=32 mixed. Route the
+            # device loop where it measured >= ~0.9x (uniform queues, or
+            # small batches), the host-scheduled loop otherwise; also fall
+            # back when a prompt can't clear serve_device's tail-reserve
+            # constraint.
             prompts = [np.asarray(p, np.int32).reshape(-1) for p in prompts]
             limit = self.max_length - self.prefill_chunk - self.tree_size
-            if prompts and all(1 <= len(p) <= limit for p in prompts):
+            lens = {len(p) for p in prompts}
+            device_profitable = len(lens) == 1 or self.batch_size <= 16
+            if (prompts and device_profitable
+                    and all(1 <= len(p) <= limit for p in prompts)):
                 return self.serve_device(
                     prompts, max_new_tokens=max_new_tokens, seed=seed)
             return self.serve_fast(prompts, max_new_tokens=max_new_tokens,
@@ -752,15 +763,29 @@ class BatchedSpecEngine(SpecEngine):
     def _serve_device_impl(self, dparams, tparams, bstate: DecodeState,
                            queue_tokens, queue_lens, slot_req0, mode0,
                            max_new, base_key):
-        """One `lax.while_loop` serving the ENTIRE queued workload: decode
+        """Serve the ENTIRE queued workload in one dispatch: decode
         iterations, finish detection, result capture, admission, and chunked
         admission prefill all happen on device. The host dispatches once and
         reads back the packed results — zero tunnel round-trips per admit
         (vs ~3 syncs + a serialized single-request prefill per admit in
         `serve_fast`, measured ~400 ms/admit over a remote-TPU tunnel).
-        While one slot prefills its admitted prompt chunk-by-chunk, the
-        other slots keep decoding — the batch never freezes for an admit,
-        and coinciding admits share one vmapped chunk forward."""
+
+        Loop structure is three nested cond-free `lax.while_loop`s — an
+        outer per-completion-wave loop whose body runs (1) a pure
+        admission-prefill loop, (2) a pure decode loop that exits when any
+        active slot finishes, then (3) the vectorized harvest+admit. The
+        first version was a SINGLE loop whose body put the decode iterate
+        and the prefill step each under `lax.cond`; XLA could not alias the
+        KV-cache buffers through the conditionals and inserted defensive
+        copies of the full batched cache on EVERY iteration — measured
+        +16.6 ms/step at B=16 7B-int8 (cache 1.34 GB / 819 GB/s = 16.4 ms;
+        probe: 193 steps, only 17 of them admission steps, wall 7.50 s vs
+        3.91 s decode-only prediction). Cond-free loop bodies keep the
+        carry aliasing in place, like `_bserve_loop_impl`'s. The trade is
+        that decode stalls during an admission's 1-2 chunk forwards
+        (~ceil(plen/C) extra streams per admit) instead of overlapping it;
+        per-slot outputs are unchanged either way (state is per-slot, so a
+        slot's tokens depend only on its own iterate sequence)."""
         B = self.batch_size
         C = self.prefill_chunk
         M = self.max_length
@@ -775,53 +800,65 @@ class BatchedSpecEngine(SpecEngine):
                 | (state.gtl + self.max_depth + 1 > M - C)
             )
 
-        def cond(carry):
+        def outer_cond(carry):
             return jnp.any(carry[1] >= 0)
 
-        def body(carry):
+        def outer_body(carry):
             (state, slot_req, mode, ppos, produced, next_q, out_tokens,
-             out_prod, steps) = carry
+             out_prod, steps, pf_steps) = carry
+            active = slot_req >= 0
 
-            # -- decode: every slot not idle and not mid-prefill ----------
-            decode_active = (slot_req >= 0) & ~mode
-            any_decode = jnp.any(decode_active)
+            # -- phase 1: admission prefill (pure chunk forwards) ---------
+            def pf_cond(c):
+                return jnp.any(c[1] & active)
 
-            def do_decode(op):
-                state, produced, steps = op
-                nstate, stats = jax.vmap(
+            def pf_body(c):
+                st, md, pp, n = c
+                st, md, pp = self._admit_prefill_step(
+                    dparams, tparams, st, queue_tokens, queue_lens,
+                    slot_req, md, pp)
+                return (st, md, pp, n + 1)
+
+            state, mode, ppos, pf_steps = jax.lax.while_loop(
+                pf_cond, pf_body, (state, mode, ppos, pf_steps))
+
+            # -- phase 2: decode until any active slot finishes -----------
+            def dec_cond(c):
+                _, _, done, _ = c
+                return jnp.any(active) & ~jnp.any(done & active)
+
+            def dec_body(c):
+                st, pr, done, n = c
+                frozen = done | ~active
+                nst, stats = jax.vmap(
                     self._iterate_impl,
                     in_axes=(None, None, self.state_axes),
                     out_axes=(self.state_axes, 0),
-                )(dparams, tparams, state)
-                frozen = ~decode_active
-                nstate = nstate._replace(
-                    tokens=jnp.where(frozen[:, None], state.tokens,
-                                     nstate.tokens),
-                    gtl=jnp.where(frozen, state.gtl, nstate.gtl),
-                    terminal=jnp.where(frozen, state.terminal,
-                                       nstate.terminal),
+                )(dparams, tparams, st)
+                nst = nst._replace(
+                    tokens=jnp.where(frozen[:, None], st.tokens, nst.tokens),
+                    gtl=jnp.where(frozen, st.gtl, nst.gtl),
+                    terminal=jnp.where(frozen, st.terminal, nst.terminal),
                     root_draft_logits=jnp.where(frozen[:, None],
-                                                state.root_draft_logits,
-                                                nstate.root_draft_logits),
-                    # Freeze the RNG stream too: without this a mid-prefill
-                    # slot's key advances with every decode iterate of
-                    # unrelated slots, making stochastic outputs depend on
-                    # co-scheduled batch contents instead of (seed, request)
-                    # alone (matching _admit_prefill_step's key=bstate.key).
-                    # (typed key arrays: batch shape [B], where broadcasts
-                    # over the batch axis directly)
-                    key=jnp.where(frozen, state.key, nstate.key),
+                                                st.root_draft_logits,
+                                                nst.root_draft_logits),
+                    # Freeze the RNG stream of finished/idle slots so
+                    # stochastic outputs depend on (seed, request) alone,
+                    # not on co-scheduled batch contents. (typed key
+                    # arrays: batch shape [B], where broadcasts over the
+                    # batch axis directly)
+                    key=jnp.where(frozen, st.key, nst.key),
                 )
-                produced = produced + jnp.where(decode_active,
-                                                stats.emitted, 0)
-                return nstate, produced, steps + 1
+                pr = pr + jnp.where(frozen, 0, stats.emitted)
+                done = done | (active & _finished(nst, pr))
+                return (nst, pr, done, n + 1)
 
-            state, produced, steps = jax.lax.cond(
-                any_decode, do_decode, lambda op: op,
-                (state, produced, steps))
+            state, produced, done, steps = jax.lax.while_loop(
+                dec_cond, dec_body,
+                (state, produced, jnp.zeros((B,), bool), steps))
 
-            # -- finish + admit (vectorized multi-admit) ------------------
-            done = decode_active & _finished(state, produced)
+            # -- phase 3: harvest + admit (vectorized multi-admit) --------
+            done = done & active
             req_out = jnp.where(done, slot_req, n_q)     # n_q = scrap row
             out_tokens = out_tokens.at[req_out].set(state.tokens)
             out_prod = out_prod.at[req_out].set(jnp.minimum(produced, max_new))
@@ -841,29 +878,17 @@ class BatchedSpecEngine(SpecEngine):
                 key=jnp.where(have, new_keys, state.key),
             )
             next_q = jnp.minimum(next_q + done.sum(), n_q)
-
-            # -- admission prefill (skipped when nobody is admitting) -----
-            any_pf = jnp.any(mode & (slot_req >= 0))
-
-            def do_pf(op):
-                st, md, pp = op
-                return self._admit_prefill_step(
-                    dparams, tparams, st, queue_tokens, queue_lens,
-                    slot_req, md, pp)
-
-            state, mode, ppos = jax.lax.cond(
-                any_pf, do_pf, lambda op: op, (state, mode, ppos))
             return (state, slot_req, mode, ppos, produced, next_q,
-                    out_tokens, out_prod, steps)
+                    out_tokens, out_prod, steps, pf_steps)
 
         init = (
             bstate, slot_req0, mode0, jnp.zeros((B,), jnp.int32),
             jnp.zeros((B,), jnp.int32), jnp.asarray(min(B, n_q), jnp.int32),
             jnp.zeros((n_q + 1, M), jnp.int32), jnp.zeros((n_q + 1,), jnp.int32),
-            jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
         )
-        carry = jax.lax.while_loop(cond, body, init)
-        return carry[6], carry[7], carry[8]
+        carry = jax.lax.while_loop(outer_cond, outer_body, init)
+        return carry[6], carry[7], carry[8], carry[9]
 
     def serve_device(
         self,
@@ -920,7 +945,7 @@ class BatchedSpecEngine(SpecEngine):
             # state buffers have no aliasing target (XLA frees them after
             # their last use inside the loop regardless).
             self._serve_device_fn = jax.jit(self._serve_device_impl)
-        out_tokens, out_prod, steps = self._serve_device_fn(
+        out_tokens, out_prod, steps, pf_steps = self._serve_device_fn(
             self.draft_params, self.target_params, bstate,
             jnp.asarray(queue_tokens), jnp.asarray(queue_lens),
             jnp.asarray(slot_req0), mode0,
@@ -929,6 +954,9 @@ class BatchedSpecEngine(SpecEngine):
         out_tokens = _host(out_tokens)
         out_prod = np.asarray(out_prod)
         self.num_large_model_steps = int(steps)
+        # Iterations that carried an admission chunk forward (these pay a
+        # second weight stream on top of the decode iterate).
+        self.num_prefill_steps = int(pf_steps)
         self.num_decoding_steps = int(out_prod[:n_q].sum())
         return [
             out_tokens[i, : queue_lens[i] + out_prod[i]] for i in range(n_q)

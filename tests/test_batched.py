@@ -253,6 +253,44 @@ def test_serve_auto_policy_switch(models):
         assert np.array_equal(o[: len(p)], p)
 
 
+def test_serve_auto_device_loop_routing(models, monkeypatch):
+    """The spec branch routes to the one-dispatch device loop only where it
+    measured profitable (SERVE_DEVICE_r05.json): uniform-length queues or
+    batch_size <= 16; mixed lengths at larger batches go host-scheduled."""
+    cfg, draft, target = models
+    kw = dict(algorithm="greedy", max_length=96, prefill_chunk=16)
+    spec_costs = dict(spec_iter_s=0.012, ar_step_s=0.010,
+                      expected_accepted=3.0, max_new_tokens=4)
+
+    def tagged(eng):
+        calls = []
+        for name in ("serve_device", "serve_fast"):
+            orig = getattr(eng, name)
+            monkeypatch.setattr(
+                eng, name,
+                lambda *a, _n=name, _o=orig, **k: calls.append(_n) or _o(*a, **k))
+        return calls
+
+    # Large batch + mixed lengths -> host-scheduled.
+    big = BatchedSpecEngine(draft, cfg, target, cfg, uniform_tree(2, 2),
+                            batch_size=17, **kw)
+    calls = tagged(big)
+    big.serve_auto(PROMPTS[:3], **spec_costs)
+    assert big.serving_mode == "spec" and calls == ["serve_fast"]
+
+    # Large batch + uniform lengths -> device loop.
+    calls = tagged(big)
+    big.serve_auto([PROMPTS[0]] * 3, **spec_costs)
+    assert calls[0] == "serve_device"
+
+    # Small batch + mixed lengths -> device loop.
+    small = BatchedSpecEngine(draft, cfg, target, cfg, uniform_tree(2, 2),
+                              batch_size=2, **kw)
+    calls = tagged(small)
+    small.serve_auto(PROMPTS[:3], **spec_costs)
+    assert calls[0] == "serve_device"
+
+
 def test_serve_device_matches_serve_fast(models):
     """One-dispatch device-resident serving == host-scheduled continuous
     batching (greedy is deterministic and key-independent, so outputs must

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--gen", type=int, default=128)
     ap.add_argument("--max-length", type=int, default=320)
     ap.add_argument("--kv-quant", default="int8")
+    ap.add_argument("--harvest-batch", type=int, default=1)
+    ap.add_argument("--uniform", action="store_true",
+                    help="uniform 64-token prompts (isolates per-wave cost)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +80,8 @@ def main():
     beng = BatchedSpecEngine(
         dparams, dcfg, tparams, tcfg, bgm, algorithm="sequoia",
         max_length=M, temperature=0.6, top_p=0.9, prefill_chunk=64,
-        batch_size=B, kv_quant=args.kv_quant)
+        batch_size=B, kv_quant=args.kv_quant,
+        harvest_batch=args.harvest_batch)
 
     # decode-only iteration time (salted, differenced)
     prompt = rng.integers(10, tcfg.vocab_size, size=96)
@@ -115,7 +119,7 @@ def main():
     del bstate
 
     def mixed_queue():
-        lens = [32, 64, 96]
+        lens = [64, 64, 64] if args.uniform else [32, 64, 96]
         return [rng.integers(10, tcfg.vocab_size, size=lens[i % 3])
                 for i in range(2 * B)]
 

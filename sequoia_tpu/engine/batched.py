@@ -243,9 +243,15 @@ class BatchedSpecEngine(SpecEngine):
     `state_axes` is the vmap in/out_axes pytree for `_iterate_impl`-shaped
     state; use it for any external vmap over engine internals."""
 
-    def __init__(self, *args, batch_size: int = 4, **kwargs) -> None:
+    def __init__(self, *args, batch_size: int = 4, harvest_batch: int = 1,
+                 **kwargs) -> None:
         super().__init__(*args, **kwargs)
         self.batch_size = batch_size
+        # serve_device completion batching: how many finished slots a
+        # decode wave accumulates before the harvest+admit transition
+        # (outputs are identical for any value — per-request keys are
+        # folded from the request id — only the wave count changes).
+        self.harvest_batch = harvest_batch
         self.state_axes = self._make_state_axes()
         self._biterate = jax.jit(
             jax.vmap(self._iterate_impl,
@@ -822,10 +828,22 @@ class BatchedSpecEngine(SpecEngine):
             state, mode, ppos, pf_steps = jax.lax.while_loop(
                 pf_cond, pf_body, (state, mode, ppos, pf_steps))
 
-            # -- phase 2: decode until any active slot finishes -----------
+            # -- phase 2: decode until `harvest_batch` active slots finish
+            # (or all of them, whichever is fewer). K=1 admits promptly;
+            # K>1 trades a little slot idle time (finished slots freeze
+            # while the rest decode) for K-fold fewer outer-loop waves —
+            # the wave transition re-stages the batched cache, measured
+            # ~65-94 ms/wave at B=16/32 (SERVE_DEVICE_r05.json), while a
+            # frozen slot costs only its share of the batch for the
+            # inter-completion gap.
+            k_target = jnp.minimum(
+                jnp.asarray(self.harvest_batch, jnp.int32),
+                active.sum().astype(jnp.int32))
+
             def dec_cond(c):
                 _, _, done, _ = c
-                return jnp.any(active) & ~jnp.any(done & active)
+                return jnp.any(active) & (
+                    (done & active).sum() < k_target)
 
             def dec_body(c):
                 st, pr, done, n = c
@@ -940,11 +958,15 @@ class BatchedSpecEngine(SpecEngine):
         bstate = bstate._replace(key=keys0)
         mode0 = jnp.asarray(slot_req0 >= 0)
 
-        if not hasattr(self, "_serve_device_fn"):
+        if (not hasattr(self, "_serve_device_fn")
+                or getattr(self, "_serve_device_fn_k", None)
+                != self.harvest_batch):
             # No donation: the loop returns only the packed results, so the
             # state buffers have no aliasing target (XLA frees them after
-            # their last use inside the loop regardless).
+            # their last use inside the loop regardless). harvest_batch is
+            # baked into the trace — re-jit when it changes.
             self._serve_device_fn = jax.jit(self._serve_device_impl)
+            self._serve_device_fn_k = self.harvest_batch
         out_tokens, out_prod, steps, pf_steps = self._serve_device_fn(
             self.draft_params, self.target_params, bstate,
             jnp.asarray(queue_tokens), jnp.asarray(queue_lens),

@@ -291,6 +291,29 @@ def test_serve_auto_device_loop_routing(models, monkeypatch):
     assert calls[0] == "serve_device"
 
 
+def test_serve_device_harvest_batch_output_invariant(models):
+    """Completion batching (harvest_batch K>1) is a pure scheduling knob:
+    per-request outputs depend only on (seed, request id), so any K must
+    produce token-identical results — stochastic algorithm included."""
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    kw = dict(algorithm="sequoia", max_length=96, prefill_chunk=16,
+              temperature=0.8, top_p=0.9)
+    base = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=2, **kw)
+    expected = base.serve_device(PROMPTS, max_new_tokens=9, seed=3)
+    kbig = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=2,
+                             harvest_batch=2, **kw)
+    got = kbig.serve_device(PROMPTS, max_new_tokens=9, seed=3)
+    assert len(got) == len(expected)
+    for e, g in zip(expected, got):
+        np.testing.assert_array_equal(e, g)
+    # Re-jit on knob change must actually take effect (trace is keyed).
+    kbig.harvest_batch = 1
+    got1 = kbig.serve_device(PROMPTS, max_new_tokens=9, seed=3)
+    for e, g in zip(expected, got1):
+        np.testing.assert_array_equal(e, g)
+
+
 def test_serve_device_matches_serve_fast(models):
     """One-dispatch device-resident serving == host-scheduled continuous
     batching (greedy is deterministic and key-independent, so outputs must

@@ -291,6 +291,33 @@ def test_serve_auto_device_loop_routing(models, monkeypatch):
     assert calls[0] == "serve_device"
 
 
+def test_serve_device_program_is_cond_free(models):
+    """Regression pin for the serving defensive-copy tax
+    (SERVE_DEVICE_r05.json): `lax.cond` in the serving while-loop body
+    broke XLA's carry aliasing and re-copied the full batched KV cache
+    every iteration (+16.6 ms/step measured on TPU). The lowered serving
+    program must contain while loops but ZERO conditional ops."""
+    import re
+
+    from sequoia_tpu.utils import prng_key
+
+    cfg, draft, target = models
+    eng = BatchedSpecEngine(draft, cfg, target, cfg, uniform_tree(2, 2),
+                            algorithm="greedy", max_length=64,
+                            prefill_chunk=16, batch_size=2)
+    bk = prng_key(0)
+    fresh = eng._fresh_state(bk, eng.target_params.embed.dtype)
+    bstate = eng._stack_states([fresh] * 2)
+    txt = jax.jit(eng._serve_device_impl).lower(
+        eng.draft_params, eng.target_params, bstate,
+        jnp.zeros((3, 16), jnp.int32), jnp.asarray([5, 6, 4], jnp.int32),
+        jnp.asarray([0, 1], jnp.int32), jnp.asarray([True, True]),
+        jnp.asarray(8, jnp.int32), bk,
+    ).as_text()
+    assert re.search(r"stablehlo\.while", txt)
+    assert not re.search(r"stablehlo\.(if|case)", txt)
+
+
 def test_serve_device_harvest_batch_output_invariant(models):
     """Completion batching (harvest_batch K>1) is a pure scheduling knob:
     per-request outputs depend only on (seed, request id), so any K must

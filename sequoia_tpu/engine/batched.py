@@ -244,7 +244,7 @@ class BatchedSpecEngine(SpecEngine):
     state; use it for any external vmap over engine internals."""
 
     def __init__(self, *args, batch_size: int = 4, harvest_batch: int = 1,
-                 **kwargs) -> None:
+                 admit_width: Optional[int] = None, **kwargs) -> None:
         super().__init__(*args, **kwargs)
         self.batch_size = batch_size
         # serve_device completion batching: how many finished slots a
@@ -252,6 +252,18 @@ class BatchedSpecEngine(SpecEngine):
         # (outputs are identical for any value — per-request keys are
         # folded from the request id — only the wave count changes).
         self.harvest_batch = harvest_batch
+        # serve_device admission width: the admission chunk forward runs
+        # over at most this many slots per prefill step (gather -> narrow
+        # forward -> scatter) instead of the full batch. The full-batch
+        # chunk forward is COMPUTE-bound at B*C tokens — measured 210 ms
+        # at B=32/C=64 7B-int8 vs the 29 ms decode iterate
+        # (scripts/probe_pf_cost.py) — and was the serve_device per-wave
+        # residual (scales with B, not cache bytes, SERVE_DEVICE_r05.json).
+        # Outputs are admit_width-invariant: a slot's prefill content and
+        # iterate sequence do not depend on which other slots share the
+        # chunk forward.
+        self.admit_width = (min(batch_size, 4) if admit_width is None
+                            else min(admit_width, batch_size))
         self.state_axes = self._make_state_axes()
         self._biterate = jax.jit(
             jax.vmap(self._iterate_impl,
@@ -622,22 +634,18 @@ class BatchedSpecEngine(SpecEngine):
         self.serving_mode = choose_serving_mode(
             spec_iter_s, expected_accepted, ar_step_s)
         if self.serving_mode == "spec":
-            # Device-loop routing (measured, SERVE_DEVICE_r05.json): the
-            # one-dispatch loop wins on uniform-length queues (1.14x the
-            # host-scheduled loop at B=32, 7B-int8) and is near-parity on
-            # mixed lengths at B<=16 (0.89x), but its per-completion-wave
-            # outer-loop transition re-stages the batched KV cache, and
-            # mixed traffic staggers completions into ~one wave per
-            # request — measured 0.65x host at B=32 mixed. Route the
-            # device loop where it measured >= ~0.9x (uniform queues, or
-            # small batches), the host-scheduled loop otherwise; also fall
-            # back when a prompt can't clear serve_device's tail-reserve
-            # constraint.
+            # Device-loop routing (measured, SERVE_DEVICE_r05.json): with
+            # narrow admission (`admit_width`) the one-dispatch loop wins
+            # every measured cell — mixed-length 7B-int8 1.17x/1.14x/1.05x
+            # the host-scheduled loop at B=8/16/32 and 1.17x on uniform
+            # queues. (The earlier mixed-traffic loss was the FULL-BATCH
+            # admission chunk forward — 210 ms of B*C-token compute per
+            # prefill step at B=32 — not cache re-staging; narrow
+            # admission removed it.) Route the device loop whenever every
+            # prompt clears its tail-reserve constraint.
             prompts = [np.asarray(p, np.int32).reshape(-1) for p in prompts]
             limit = self.max_length - self.prefill_chunk - self.tree_size
-            lens = {len(p) for p in prompts}
-            device_profitable = len(lens) == 1 or self.batch_size <= 16
-            if (prompts and device_profitable
+            if (prompts
                     and all(1 <= len(p) <= limit for p in prompts)):
                 return self.serve_device(
                     prompts, max_new_tokens=max_new_tokens, seed=seed)
@@ -766,6 +774,68 @@ class BatchedSpecEngine(SpecEngine):
         done_pf = pf & (ppos2 >= plens)
         return merged, mode & ~done_pf, ppos2
 
+    @staticmethod
+    def _leaf_take(x, ax, idx):
+        if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(
+                jnp.take(jax.random.key_data(x), idx, axis=ax),
+                impl=jax.random.key_impl(x))
+        return jnp.take(x, idx, axis=ax)
+
+    def _gather_slots(self, st: DecodeState, idx) -> DecodeState:
+        """Width-W sub-batch view of a batched DecodeState (cache leaves
+        batch on axis 1, everything else axis 0 — see `state_axes`)."""
+        return jax.tree.map(
+            lambda ax, x: self._leaf_take(x, ax, idx), self.state_axes, st)
+
+    def _scatter_slots(self, st: DecodeState, sub: DecodeState, idx,
+                       valid) -> DecodeState:
+        """Write a sub-batch back into the full batched state at `idx`
+        (distinct slot indices); rows with valid=False are restored to
+        their original values, so invalid padding rows are a no-op."""
+        def put(ax, x, s):
+            if jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+                kd = jax.random.key_data(x)
+                sd = jax.random.key_data(s)
+                return jax.random.wrap_key_data(
+                    put(ax, kd, sd), impl=jax.random.key_impl(x))
+            old = jnp.take(x, idx, axis=ax)
+            vshape = [1] * s.ndim
+            vshape[ax] = valid.shape[0]
+            sel = jnp.where(valid.reshape(vshape), s, old)
+            if ax == 0:
+                return x.at[idx].set(sel)
+            return x.at[:, idx].set(sel)
+        return jax.tree.map(put, self.state_axes, st, sub)
+
+    def _admit_prefill_step_narrow(self, dparams, tparams,
+                                   bstate: DecodeState, queue_tokens,
+                                   queue_lens, slot_req, mode, ppos):
+        """One admission chunk step over AT MOST `admit_width` slots: the
+        needing slots are gathered into a static width-W sub-batch, run
+        through the same `_admit_prefill_step`, and scattered back. The
+        full-batch step's chunk forward costs B*C tokens of COMPUTE no
+        matter how many slots admit (measured 210 ms vs the 29 ms decode
+        iterate at B=32/C=64 7B-int8, scripts/probe_pf_cost.py — the
+        `SERVE_DEVICE_r05.json` per-wave residual); the narrow step costs
+        W*C tokens plus a 2*W-slot cache gather/scatter (~0.2 ms/slot at
+        819 GB/s). When more than W slots need prefill (initial fill,
+        multi-admit waves) the enclosing while-loop simply runs more
+        steps, W slots at a time. Per-slot outputs are unchanged."""
+        W = self.admit_width
+        needs = mode & (slot_req >= 0)
+        order = jnp.argsort(~needs)          # stable: needing slots first
+        idx = order[:W]
+        valid = needs[idx]
+        sub = self._gather_slots(bstate, idx)
+        nsub, nmode, nppos = self._admit_prefill_step(
+            dparams, tparams, sub, queue_tokens, queue_lens,
+            jnp.where(valid, slot_req[idx], -1), valid, ppos[idx])
+        merged = self._scatter_slots(bstate, nsub, idx, valid)
+        mode2 = mode.at[idx].set(jnp.where(valid, nmode, mode[idx]))
+        ppos2 = ppos.at[idx].set(jnp.where(valid, nppos, ppos[idx]))
+        return merged, mode2, ppos2
+
     def _serve_device_impl(self, dparams, tparams, bstate: DecodeState,
                            queue_tokens, queue_lens, slot_req0, mode0,
                            max_new, base_key):
@@ -818,9 +888,12 @@ class BatchedSpecEngine(SpecEngine):
             def pf_cond(c):
                 return jnp.any(c[1] & active)
 
+            pf_step = (self._admit_prefill_step if self.admit_width >= B
+                       else self._admit_prefill_step_narrow)
+
             def pf_body(c):
                 st, md, pp, n = c
-                st, md, pp = self._admit_prefill_step(
+                st, md, pp = pf_step(
                     dparams, tparams, st, queue_tokens, queue_lens,
                     slot_req, md, pp)
                 return (st, md, pp, n + 1)
@@ -831,11 +904,11 @@ class BatchedSpecEngine(SpecEngine):
             # -- phase 2: decode until `harvest_batch` active slots finish
             # (or all of them, whichever is fewer). K=1 admits promptly;
             # K>1 trades a little slot idle time (finished slots freeze
-            # while the rest decode) for K-fold fewer outer-loop waves —
-            # the wave transition re-stages the batched cache, measured
-            # ~65-94 ms/wave at B=16/32 (SERVE_DEVICE_r05.json), while a
-            # frozen slot costs only its share of the batch for the
-            # inter-completion gap.
+            # while the rest decode) for K-fold fewer outer-loop waves.
+            # (The ~100 ms/wave cost that once motivated K>1 was the
+            # full-batch admission chunk forward, removed by narrow
+            # admission — SERVE_DEVICE_r05.json; K>1 now only coalesces
+            # the remaining small per-wave transition.)
             k_target = jnp.minimum(
                 jnp.asarray(self.harvest_batch, jnp.int32),
                 active.sum().astype(jnp.int32))
@@ -960,13 +1033,13 @@ class BatchedSpecEngine(SpecEngine):
 
         if (not hasattr(self, "_serve_device_fn")
                 or getattr(self, "_serve_device_fn_k", None)
-                != self.harvest_batch):
+                != (self.harvest_batch, self.admit_width)):
             # No donation: the loop returns only the packed results, so the
             # state buffers have no aliasing target (XLA frees them after
             # their last use inside the loop regardless). harvest_batch is
             # baked into the trace — re-jit when it changes.
             self._serve_device_fn = jax.jit(self._serve_device_impl)
-            self._serve_device_fn_k = self.harvest_batch
+            self._serve_device_fn_k = (self.harvest_batch, self.admit_width)
         out_tokens, out_prod, steps, pf_steps = self._serve_device_fn(
             self.draft_params, self.target_params, bstate,
             jnp.asarray(queue_tokens), jnp.asarray(queue_lens),

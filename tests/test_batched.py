@@ -254,9 +254,10 @@ def test_serve_auto_policy_switch(models):
 
 
 def test_serve_auto_device_loop_routing(models, monkeypatch):
-    """The spec branch routes to the one-dispatch device loop only where it
-    measured profitable (SERVE_DEVICE_r05.json): uniform-length queues or
-    batch_size <= 16; mixed lengths at larger batches go host-scheduled."""
+    """The spec branch routes to the one-dispatch device loop whenever
+    every prompt clears the tail-reserve budget (with narrow admission the
+    device loop measured faster than host scheduling at every cell,
+    SERVE_DEVICE_r05.json); over-long prompts fall back host-scheduled."""
     cfg, draft, target = models
     kw = dict(algorithm="greedy", max_length=96, prefill_chunk=16)
     spec_costs = dict(spec_iter_s=0.012, ar_step_s=0.010,
@@ -271,17 +272,19 @@ def test_serve_auto_device_loop_routing(models, monkeypatch):
                 lambda *a, _n=name, _o=orig, **k: calls.append(_n) or _o(*a, **k))
         return calls
 
-    # Large batch + mixed lengths -> host-scheduled.
+    # Large batch + mixed lengths -> device loop (narrow admission).
     big = BatchedSpecEngine(draft, cfg, target, cfg, uniform_tree(2, 2),
                             batch_size=17, **kw)
     calls = tagged(big)
     big.serve_auto(PROMPTS[:3], **spec_costs)
-    assert big.serving_mode == "spec" and calls == ["serve_fast"]
+    assert big.serving_mode == "spec" and calls[0] == "serve_device"
 
-    # Large batch + uniform lengths -> device loop.
+    # A prompt over the tail-reserve limit -> host-scheduled fallback.
+    limit = big.max_length - big.prefill_chunk - big.tree_size
+    long_prompt = np.arange(limit + 1) % 50 + 1
     calls = tagged(big)
-    big.serve_auto([PROMPTS[0]] * 3, **spec_costs)
-    assert calls[0] == "serve_device"
+    big.serve_auto([long_prompt] + list(PROMPTS[:2]), **spec_costs)
+    assert calls == ["serve_fast"]
 
     # Small batch + mixed lengths -> device loop.
     small = BatchedSpecEngine(draft, cfg, target, cfg, uniform_tree(2, 2),
@@ -339,6 +342,29 @@ def test_serve_device_harvest_batch_output_invariant(models):
     got1 = kbig.serve_device(PROMPTS, max_new_tokens=9, seed=3)
     for e, g in zip(expected, got1):
         np.testing.assert_array_equal(e, g)
+
+
+def test_serve_device_admit_width_output_invariant(models):
+    """Narrow admission (admit_width < B) is a pure scheduling knob: the
+    chunk forwards are gathered into a width-W sub-batch and scattered
+    back, but a slot's prefill content and iterate sequence are its own,
+    so any W must produce token-identical results — including W=1 (one
+    slot per admission step) and the multi-admit initial fill where the
+    pf loop drains B slots W at a time."""
+    cfg, draft, target = models
+    gm = uniform_tree(3, 2)
+    kw = dict(algorithm="sequoia", max_length=96, prefill_chunk=16,
+              temperature=0.8, top_p=0.9)
+    full = BatchedSpecEngine(draft, cfg, target, cfg, gm, batch_size=3,
+                             admit_width=3, **kw)
+    expected = full.serve_device(PROMPTS, max_new_tokens=9, seed=3)
+    for w in (1, 2):
+        narrow = BatchedSpecEngine(draft, cfg, target, cfg, gm,
+                                   batch_size=3, admit_width=w, **kw)
+        got = narrow.serve_device(PROMPTS, max_new_tokens=9, seed=3)
+        assert len(got) == len(expected)
+        for e, g in zip(expected, got):
+            np.testing.assert_array_equal(e, g)
 
 
 def test_serve_device_matches_serve_fast(models):

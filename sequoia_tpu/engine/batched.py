@@ -909,9 +909,19 @@ class BatchedSpecEngine(SpecEngine):
             # full-batch admission chunk forward, removed by narrow
             # admission — SERVE_DEVICE_r05.json; K>1 now only coalesces
             # the remaining small per-wave transition.)
-            k_target = jnp.minimum(
-                jnp.asarray(self.harvest_batch, jnp.int32),
-                active.sum().astype(jnp.int32))
+            # Tail collapse: once the queue is drained there is nothing to
+            # admit, so exiting the decode loop per completion buys nothing
+            # (the batch is static — a harvested slot frees no compute) and
+            # costs a wave transition each; run the last wave until ALL
+            # active slots finish instead. Output-invariant: each slot's
+            # trajectory depends only on its own iterate sequence, and the
+            # decode iteration count is identical either way.
+            no_more = next_q >= jnp.asarray(n_q, jnp.int32)
+            k_target = jnp.where(
+                no_more,
+                active.sum().astype(jnp.int32),
+                jnp.minimum(jnp.asarray(self.harvest_batch, jnp.int32),
+                            active.sum().astype(jnp.int32)))
 
             def dec_cond(c):
                 _, _, done, _ = c
